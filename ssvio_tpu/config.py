@@ -1,0 +1,158 @@
+"""Configuration layer.
+
+Capability parity with the reference's `Setting` singleton
+(reference include/ssvio/setting.hpp:20-59 + config/kitti_00.yaml:1-71):
+a typed settings object loadable from the SAME YAML key schema the reference
+uses (so a reference user can bring their config file unchanged), plus a
+plain-Python constructor for programmatic use.
+
+The reference wraps cv::FileStorage; we parse with PyYAML after stripping the
+`%YAML:1.0` OpenCV header line.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class CameraConfig:
+    fx: float = 718.856
+    fy: float = 718.856
+    cx: float = 607.1928
+    cy: float = 185.2157
+    # distortion (plumb bob). Reference keys Camera{1,2}.{k1,k2,p1,p2}.
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+
+
+@dataclasses.dataclass
+class Settings:
+    """All engine knobs. Defaults = the reference's KITTI config
+    (reference config/kitti_00.yaml)."""
+
+    # --- stereo rig ---
+    cam_left: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    cam_right: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    image_width: int = 1241
+    image_height: int = 376
+    # `Camera.Base.Line` in the reference is bf (baseline*fx); baseline is
+    # recovered as bf/fx (reference src/ssvio/system.cpp:69-70).
+    baseline_fx: float = 386.1448
+    need_undistortion: bool = False
+    fps: float = 10.0
+
+    # --- map / window ---
+    active_map_size: int = 12           # Map.ActiveMap.Size
+
+    # --- tracking status thresholds (numFeatures.*) ---
+    init_good: int = 100
+    tracking_good: int = 50
+    tracking_bad: int = 10
+
+    # --- feature extraction (ORBextractor.*) ---
+    n_init_features: int = 300
+    n_new_features: int = 100
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ini_th_fast: int = 20
+    min_th_fast: int = 7
+
+    min_init_landmarks: int = 200       # Min.Init.Landmark.Num
+
+    # --- loop closing ---
+    backend_open: bool = True
+    loop_closing_open: bool = True
+    loop_threshold_higher: float = 0.027
+    loop_threshold_lower: float = 0.02
+    loop_db_min_size: int = 50
+    pyramid_level: int = 8
+    vocab_path: Optional[str] = None    # DBOW2.VOC.Path
+
+    # --- output ---
+    trajectory_save_path: Optional[str] = None
+
+    # --- TPU-native capacity planning (fixed shapes; no reference analog —
+    # the reference uses dynamic containers, we pre-allocate) ---
+    max_features: int = 512             # feature slots per frame (padded)
+    max_window: int = 16                # keyframe ring-buffer capacity (>= active_map_size)
+    max_landmarks: int = 16384          # active landmark slots on device
+    lk_window: int = 11                 # LK window (reference frontend.cpp:156: 11x11)
+    lk_levels: int = 3                  # LK pyramid levels (reference: 3)
+    lk_iters: int = 30                  # LK iterations (reference: 30)
+    lk_eps: float = 0.01                # LK convergence epsilon (reference: 0.01)
+    grid_cell: int = 32                 # detection grid cell size (spread heuristic)
+
+    # derived
+    @property
+    def baseline(self) -> float:
+        return self.baseline_fx / self.cam_left.fx
+
+    # padded image dims (multiples of 8x128 keep XLA layouts happy)
+    @property
+    def padded_width(self) -> int:
+        return _round_up(self.image_width, 128)
+
+    @property
+    def padded_height(self) -> int:
+        return _round_up(self.image_height, 8)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_yaml(cls, path: str) -> "Settings":
+        """Load a reference-format YAML config (cv::FileStorage dialect)."""
+        with open(path, "r") as f:
+            text = f.read()
+        if text.startswith("%YAML"):
+            text = text.split("\n", 1)[1]
+        raw: Dict[str, Any] = yaml.safe_load(text) or {}
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Settings":
+        g = raw.get
+        s = cls()
+        s.cam_left = CameraConfig(
+            fx=g("Camera1.fx", s.cam_left.fx), fy=g("Camera1.fy", s.cam_left.fy),
+            cx=g("Camera1.cx", s.cam_left.cx), cy=g("Camera1.cy", s.cam_left.cy),
+            k1=g("Camera1.k1", 0.0), k2=g("Camera1.k2", 0.0),
+            p1=g("Camera1.p1", 0.0), p2=g("Camera1.p2", 0.0))
+        s.cam_right = CameraConfig(
+            fx=g("Camera2.fx", s.cam_right.fx), fy=g("Camera2.fy", s.cam_right.fy),
+            cx=g("Camera2.cx", s.cam_right.cx), cy=g("Camera2.cy", s.cam_right.cy),
+            k1=g("Camera2.k1", 0.0), k2=g("Camera2.k2", 0.0),
+            p1=g("Camera2.p1", 0.0), p2=g("Camera2.p2", 0.0))
+        s.image_width = int(g("Camera.width", s.image_width))
+        s.image_height = int(g("Camera.height", s.image_height))
+        s.baseline_fx = float(g("Camera.Base.Line", s.baseline_fx))
+        s.need_undistortion = bool(g("Camera.NeedUndistortion", 0))
+        s.fps = float(g("Camera.fps", s.fps))
+        s.active_map_size = int(g("Map.ActiveMap.Size", s.active_map_size))
+        s.init_good = int(g("numFeatures.initGood", s.init_good))
+        s.tracking_good = int(g("numFeatures.trackingGood", s.tracking_good))
+        s.tracking_bad = int(g("numFeatures.trackingBad", s.tracking_bad))
+        s.n_init_features = int(g("ORBextractor.nInitFeatures", s.n_init_features))
+        s.n_new_features = int(g("ORBextractor.nNewFeatures", s.n_new_features))
+        s.scale_factor = float(g("ORBextractor.scaleFactor", s.scale_factor))
+        s.n_levels = int(g("ORBextractor.nLevels", s.n_levels))
+        s.ini_th_fast = int(g("ORBextractor.iniThFAST", s.ini_th_fast))
+        s.min_th_fast = int(g("ORBextractor.minThFAST", s.min_th_fast))
+        s.min_init_landmarks = int(g("Min.Init.Landmark.Num", s.min_init_landmarks))
+        s.backend_open = bool(g("Backend.Open", 1))
+        s.loop_closing_open = bool(g("Loop.Closing.Open", 1))
+        s.loop_threshold_higher = float(g("Loop.Threshold.Heigher", s.loop_threshold_higher))
+        s.loop_threshold_lower = float(g("Loop.Threshold.Lower", s.loop_threshold_lower))
+        s.loop_db_min_size = int(g("Loop.Closig.Keyframe.Database.Min.Size", s.loop_db_min_size))
+        s.pyramid_level = int(g("Pyramid.Level", s.pyramid_level))
+        s.vocab_path = g("DBOW2.VOC.Path", None)
+        s.trajectory_save_path = g("Trajectory.Save.Path", None)
+        return s
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

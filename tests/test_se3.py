@@ -1,0 +1,103 @@
+"""SE3/SO3 unit tests against scipy oracles and group axioms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from ssvio_tpu.ops import se3
+
+
+def random_twists(rng, n, rot_scale=1.0, trans_scale=2.0):
+    xi = rng.normal(size=(n, 6)).astype(np.float32)
+    xi[:, :3] *= trans_scale
+    xi[:, 3:] *= rot_scale
+    return xi
+
+
+def test_so3_exp_matches_scipy(rng):
+    phi = rng.normal(size=(64, 3)).astype(np.float32)
+    R = np.asarray(se3.so3_exp(jnp.asarray(phi)))
+    R_ref = Rotation.from_rotvec(phi).as_matrix()
+    np.testing.assert_allclose(R, R_ref, atol=1e-5)
+
+
+def test_so3_log_roundtrip(rng):
+    phi = rng.normal(size=(64, 3)).astype(np.float32)
+    # keep |phi| < pi for uniqueness
+    norm = np.linalg.norm(phi, axis=1, keepdims=True)
+    phi = phi / norm * (norm % 3.0)
+    back = np.asarray(se3.so3_log(se3.so3_exp(jnp.asarray(phi))))
+    np.testing.assert_allclose(back, phi, atol=1e-4)
+
+
+def test_so3_log_small_angle():
+    phi = np.array([[1e-7, -2e-7, 1e-8], [0.0, 0.0, 0.0]], dtype=np.float32)
+    back = np.asarray(se3.so3_log(se3.so3_exp(jnp.asarray(phi))))
+    np.testing.assert_allclose(back, phi, atol=1e-9)
+
+
+def test_so3_log_near_pi():
+    axis = np.array([0.6, -0.64, 0.48])
+    axis /= np.linalg.norm(axis)
+    for ang in [3.10, 3.14, np.pi - 1e-4]:
+        phi = (axis * ang).astype(np.float32)[None]
+        R = Rotation.from_rotvec(phi).as_matrix().astype(np.float32)
+        back = np.asarray(se3.so3_log(jnp.asarray(R)))[0]
+        R_back = Rotation.from_rotvec(back).as_matrix()
+        np.testing.assert_allclose(R_back[0] if R_back.ndim == 3 else R_back,
+                                   R[0], atol=2e-3)
+
+
+def test_se3_exp_log_roundtrip(rng):
+    xi = random_twists(rng, 64, rot_scale=0.8)
+    T = se3.exp(jnp.asarray(xi))
+    back = np.asarray(se3.log(T))
+    np.testing.assert_allclose(back, xi, atol=1e-4)
+
+
+def test_se3_compose_inverse(rng):
+    xi = random_twists(rng, 32, rot_scale=0.8)
+    T = se3.exp(jnp.asarray(xi))
+    I = se3.compose(T, se3.inverse(T))
+    np.testing.assert_allclose(np.asarray(I), np.asarray(se3.identity((32,))), atol=1e-5)
+
+
+def test_se3_transform_matches_matrix(rng):
+    xi = random_twists(rng, 8, rot_scale=0.8)
+    T = se3.exp(jnp.asarray(xi))
+    p = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    out = se3.transform(T, p)
+    expected = np.einsum("nij,nj->ni", np.asarray(T)[:, :, :3], np.asarray(p)) \
+        + np.asarray(T)[:, :, 3]
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_adjoint_property(rng):
+    """Ad_T xi == log(T exp(xi) T^-1) for small xi."""
+    xi_T = random_twists(rng, 4, rot_scale=0.5)
+    T = se3.exp(jnp.asarray(xi_T))
+    xi = jnp.asarray(random_twists(rng, 4, rot_scale=0.01, trans_scale=0.01))
+    lhs = jnp.einsum("nij,nj->ni", se3.adjoint(T), xi)
+    rhs = se3.log(se3.compose(se3.compose(T, se3.exp(xi)), se3.inverse(T)))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+
+def test_quat_roundtrip(rng):
+    phi = rng.normal(size=(64, 3)).astype(np.float32)
+    R = se3.so3_exp(jnp.asarray(phi))
+    q = se3.rotmat_to_quat(R)
+    R2 = se3.quat_to_rotmat(q)
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+    q_ref = Rotation.from_matrix(np.asarray(R)).as_quat()
+    # our quats are canonicalized to w >= 0; bring scipy's to the same branch
+    sign = np.where(q_ref[:, 3:4] < 0, -1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(q), q_ref * sign, atol=1e-4)
+
+
+def test_exp_jits_and_vmaps(rng):
+    xi = jnp.asarray(random_twists(rng, 16))
+    f = jax.jit(jax.vmap(se3.exp))
+    T = f(xi)
+    assert T.shape == (16, 3, 4)
