@@ -1,0 +1,149 @@
+"""FAST detection + ORB descriptor tests against cv2 oracles and invariances."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssvio_tpu.ops import fast, orb, pyramid
+
+
+def isolated_squares(h=128, w=192, sq=8, step=16):
+    """Bright squares on dark ground: every square corner is a FAST corner
+    (unlike checkerboard X-crossings, which are saddle points FAST rejects)."""
+    img = np.full((h, w), 20.0, np.float32)
+    for i in range(step // 2, h - sq, step):
+        for j in range(step // 2, w - sq, step):
+            img[i:i + sq, j:j + sq] = 220.0
+    return img
+
+
+def textured(rng, h=128, w=192):
+    img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    return cv2.GaussianBlur(img, (5, 5), 1.2)
+
+
+def test_fast_score_map_agrees_with_cv2_on_detections(rng):
+    img = textured(rng)
+    score = np.asarray(fast.fast_score_map(jnp.asarray(img), 20.0))
+    cv_kps = cv2.FastFeatureDetector_create(
+        threshold=20, nonmaxSuppression=False).detect(img.astype(np.uint8))
+    cv_mask = np.zeros(img.shape, bool)
+    for kp in cv_kps:
+        x, y = int(round(kp.pt[0])), int(round(kp.pt[1]))
+        cv_mask[y, x] = True
+    ours = score > 0
+    inner = np.zeros_like(cv_mask)
+    inner[4:-4, 4:-4] = True
+    both = ours & cv_mask & inner
+    only_cv = cv_mask & inner & ~ours
+    only_us = ours & inner & ~cv_mask
+    # float32 vs uint8 rounding makes exact parity impossible; demand high
+    # overlap: >90% of cv2 detections found, few spurious extras.
+    recall = both.sum() / max(1, (cv_mask & inner).sum())
+    spurious = only_us.sum() / max(1, ours.sum())
+    assert recall > 0.9, f"recall={recall}"
+    assert spurious < 0.1, f"spurious={spurious}"
+
+
+def test_fast_no_corners_on_flat():
+    img = jnp.full((64, 64), 100.0)
+    score = fast.fast_score_map(img, 10.0)
+    assert float(jnp.max(score)) == 0.0
+
+
+def test_fast_finds_square_corners():
+    img = isolated_squares()
+    xy, resp, valid = fast.detect_grid(jnp.asarray(img), max_kps=256, cell=16,
+                                       ini_threshold=20.0, min_threshold=7.0)
+    xy = np.asarray(xy)[np.asarray(valid)]
+    assert len(xy) >= 40
+    # detections must sit within ~2px of a true square corner
+    corners = []
+    for i in range(8, 128 - 8, 16):
+        for j in range(8, 192 - 8, 16):
+            for di in (0, 7):
+                for dj in (0, 7):
+                    corners.append((j + dj, i + di))
+    corners = np.array(corners, np.float32)
+    d = np.linalg.norm(xy[:, None] - corners[None], axis=-1).min(axis=1)
+    assert np.percentile(d, 90) <= 2.0, np.percentile(d, 90)
+
+
+def test_detect_grid_respects_occupancy(rng):
+    img = jnp.asarray(textured(rng))
+    xy1, _, v1 = fast.detect_grid(img, max_kps=64, cell=16)
+    occ = fast.build_occupancy(128, 192, xy1, v1, radius=10)
+    xy2, _, v2 = fast.detect_grid(img, max_kps=64, cell=16, occupancy=occ)
+    xy1n, xy2n = np.asarray(xy1)[np.asarray(v1)], np.asarray(xy2)[np.asarray(v2)]
+    if len(xy2n) and len(xy1n):
+        d = np.linalg.norm(xy1n[None] - xy2n[:, None], axis=-1).min(axis=1)
+        assert d.min() > 9.0  # new detections keep away from old ones
+
+
+def test_brief_pattern_deterministic_and_bounded():
+    p1 = orb.brief_pattern()
+    p2 = orb.brief_pattern()
+    np.testing.assert_array_equal(p1, p2)
+    assert p1.shape == (256, 4)
+    assert np.abs(p1).max() <= 13
+
+
+def test_ic_angle_gradient_direction():
+    """A linear intensity ramp has centroid pointing along the gradient."""
+    h = w = 64
+    xx = np.arange(w, dtype=np.float32)[None].repeat(h, 0)
+    yy = np.arange(h, dtype=np.float32)[:, None].repeat(w, 1)
+    for expected, img in [(0.0, xx), (np.pi / 2, yy), (np.pi, 255 - xx)]:
+        ang = float(np.asarray(orb.ic_angle(jnp.asarray(img),
+                                            jnp.asarray([[32.0, 32.0]])))[0])
+        diff = np.arctan2(np.sin(ang - expected), np.cos(ang - expected))
+        assert abs(diff) < 0.05, (expected, ang)
+
+
+def test_descriptor_rotation_invariance(rng):
+    """Descriptors computed on a rotated image (with steered pattern) should
+    be close in Hamming distance to the originals."""
+    img = textured(rng, 160, 160)
+    blurred = np.asarray(pyramid.blur(jnp.asarray(img), 2.0, 3))
+    center = np.array([[80.0, 80.0], [70.0, 95.0], [95.0, 60.0]], np.float32)
+    ang = orb.ic_angle(jnp.asarray(blurred), jnp.asarray(center))
+    d0 = orb.compute_descriptors(jnp.asarray(blurred), jnp.asarray(center), ang)
+
+    # rotate image by 30 deg around center
+    deg = 30.0
+    M = cv2.getRotationMatrix2D((80, 80), deg, 1.0)
+    rot = cv2.warpAffine(img, M, (160, 160))
+    rot_blur = np.asarray(pyramid.blur(jnp.asarray(rot), 2.0, 3))
+    pts_rot = (np.concatenate([center, np.ones((3, 1), np.float32)], 1) @ M.T).astype(np.float32)
+    ang_r = orb.ic_angle(jnp.asarray(rot_blur), jnp.asarray(pts_rot))
+    d1 = orb.compute_descriptors(jnp.asarray(rot_blur), jnp.asarray(pts_rot), ang_r)
+
+    dist_same = np.asarray(orb.hamming_distance(d0, d1))
+    # random descriptor pairs average 128 bits apart; matched pairs should be
+    # far below that
+    assert dist_same.mean() < 64, dist_same
+
+
+def test_hamming_distance_exact():
+    a = jnp.asarray(np.array([[0, 0, 0, 0, 0, 0, 0, 0]], np.uint32))
+    b = jnp.asarray(np.array([[0xFFFFFFFF, 0, 0, 0, 0, 0, 0, 1]], np.uint32))
+    assert int(orb.hamming_distance(a, b)[0]) == 33
+
+
+def test_match_brute_force_identity(rng):
+    descs = rng.integers(0, 2 ** 32, size=(32, 8), dtype=np.uint32)
+    a = jnp.asarray(descs)
+    valid = jnp.ones(32, bool)
+    idx, dist, ok = orb.match_brute_force(a, a, valid, valid)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(32))
+    assert bool(jnp.all(ok))
+    assert int(jnp.max(dist)) == 0
+
+
+def test_match_brute_force_rejects_invalid(rng):
+    descs = rng.integers(0, 2 ** 32, size=(8, 8), dtype=np.uint32)
+    a = jnp.asarray(descs)
+    valid_b = jnp.zeros(8, bool)
+    _, _, ok = orb.match_brute_force(a, a, jnp.ones(8, bool), valid_b)
+    assert not bool(jnp.any(ok))
