@@ -1,0 +1,379 @@
+"""Batched Gauss-Newton / Levenberg-Marquardt optimizers.
+
+This module is the TPU-native replacement for the reference's g2o stack:
+
+- `pose_only_optimize` == the frontend's EstimateCurrentPose
+  (reference src/ssvio/frontend.cpp:184-300): 1 pose, N reprojection edges,
+  4 rounds x 10 LM iterations, Huber (dropped in the last round),
+  chi2 > 5.991 outlier demotion between rounds.
+- `local_ba` == the backend's OptimizeActiveMap
+  (reference src/ssvio/backend.cpp:78-245): W poses + M landmarks, left and
+  right-camera reprojection edges, Schur-complement marginalization of the
+  3x3 landmark blocks, LM with g2o's adaptive-lambda gain-ratio schedule
+  (reference thirdparty g2o optimization_algorithm_levenberg.cpp:89-147),
+  inlier-ratio outer loop, observation detachment.
+
+Design (TPU-first, not a port): no graph objects. Observations live in a
+dense `[M, W, C]` table (C = 2 eyes), so residuals/Jacobians are one vmapped
+elementwise pass, Hessian blocks are einsum contractions that hit the MXU,
+and the Schur reduction is a single `[M]`-batched 3x3 solve + `[W x W]`
+block contraction. Fixed/free poses are handled with masks, invalid
+observations with zero weights — shapes never change, everything jits once.
+
+Precision: normal equations accumulate in float32 with
+`jax_default_matmul_precision=highest` (set at package import); the reduced
+camera system is <= 96x96, solved with a jittered Cholesky.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssvio_tpu.ops import se3
+
+CHI2_TH = 5.991          # 95% chi-square with 2 dof (reference threshold)
+
+
+# ---------------------------------------------------------------------------
+# Reprojection residuals / Jacobians (analytic, matching g2otypes.hpp:86-101)
+# ---------------------------------------------------------------------------
+
+def reproject_residual(T_cw: jnp.ndarray, p_w: jnp.ndarray, uv: jnp.ndarray,
+                       fx, fy, cx, cy, baseline_x: jnp.ndarray | float = 0.0):
+    """Residual r = uv_obs - proj(T_cw p_w + [-baseline_x, 0, 0]).
+
+    Broadcasts over leading dims. baseline_x > 0 selects the right eye.
+    Returns (r [..., 2], p_c [..., 3] LEFT-camera point, z_positive [...]).
+    """
+    p_cl = se3.transform(T_cw, p_w)
+    p_c = p_cl + jnp.stack([-jnp.broadcast_to(jnp.asarray(baseline_x, p_cl.dtype), p_cl[..., 0].shape),
+                            jnp.zeros_like(p_cl[..., 0]),
+                            jnp.zeros_like(p_cl[..., 0])], axis=-1)
+    z = p_c[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = fx * p_c[..., 0] / safe_z + cx
+    v = fy * p_c[..., 1] / safe_z + cy
+    r = uv - jnp.stack([u, v], axis=-1)
+    return r, p_cl, z > 0.05
+
+
+def reproject_jacobians(p_cl: jnp.ndarray, R_cw: jnp.ndarray,
+                        fx, fy, baseline_x: jnp.ndarray | float = 0.0):
+    """Analytic Jacobians of the reprojection residual.
+
+    Args:
+      p_cl: [..., 3] LEFT-camera-frame point (before baseline shift).
+      R_cw: [..., 3, 3] rotation of the pose being optimized.
+
+    Returns:
+      J_pose [..., 2, 6] d r / d xi with LEFT-multiplicative update
+        T <- Exp(xi) T, xi = [rho, phi] (translation, rotation);
+      J_point [..., 2, 3] d r / d p_w.
+
+    Matches the reference's analytic pose-only Jacobian
+    (g2otypes.hpp:86-101) generalized with the stereo baseline offset
+    (backend edges use the right-eye extrinsic, backend.cpp:147-155).
+    """
+    x, y = p_cl[..., 0], p_cl[..., 1]
+    z = p_cl[..., 2]
+    bx = jnp.broadcast_to(jnp.asarray(baseline_x, p_cl.dtype), z.shape)
+    xs = x - bx                     # x in the shifted (projecting) camera
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    iz = 1.0 / safe_z
+    iz2 = iz * iz
+    zero = jnp.zeros_like(iz)
+    # d proj / d p_c (projecting camera coords) [..., 2, 3]
+    duv = jnp.stack([
+        jnp.stack([fx * iz, zero, -fx * xs * iz2], axis=-1),
+        jnp.stack([zero, fy * iz, -fy * y * iz2], axis=-1),
+    ], axis=-2)
+    # d p_c / d xi = [I | -hat(p_cl)]  (baseline shift is constant => same)
+    dp_dxi = jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(3, dtype=p_cl.dtype), (*p_cl.shape[:-1], 3, 3)),
+        -se3.hat(p_cl),
+    ], axis=-1)                      # [..., 3, 6]
+    J_pose = -(duv @ dp_dxi)         # r = obs - proj  =>  dr = -dproj
+    J_point = -(duv @ R_cw)
+    return J_pose, J_point
+
+
+def huber_weight(chi2: jnp.ndarray, delta2: float = CHI2_TH) -> jnp.ndarray:
+    """IRLS weight of the Huber kernel on squared error chi2 (delta^2 form:
+    w = 1 inside, delta/sqrt(chi2) outside — g2o RobustKernelHuber)."""
+    return jnp.where(chi2 <= delta2, 1.0,
+                     jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
+
+
+# ---------------------------------------------------------------------------
+# Pose-only LM (frontend hot loop)
+# ---------------------------------------------------------------------------
+
+class PoseOnlyResult(NamedTuple):
+    T_cw: jnp.ndarray        # [3, 4] optimized pose
+    inlier: jnp.ndarray      # [N] bool final inlier mask
+    n_inliers: jnp.ndarray   # [] int32
+    chi2: jnp.ndarray        # [N] final per-edge chi2
+
+
+def _pose_only_normal_eq(T, p_w, uv, w, fx, fy, cx, cy):
+    r, p_cl, z_ok = reproject_residual(T, p_w, uv, fx, fy, cx, cy)
+    w = w * z_ok.astype(r.dtype)
+    chi2 = jnp.sum(r * r, axis=-1)
+    hw = w * huber_weight(chi2)
+    J, _ = reproject_jacobians(p_cl, se3.rotation(T), fx, fy)
+    # H = sum w J^T J ; b = -sum w J^T r  (solve H dx = b, update Exp(dx) T)
+    H = jnp.einsum("nki,nkj,n->ij", J, J, hw)
+    b = -jnp.einsum("nki,nk,n->i", J, r, hw)
+    F = jnp.sum(hw * chi2)
+    return H, b, F
+
+
+def _lm_loop_6dof(T0, p_w, uv, weight, fx, fy, cx, cy, iters: int):
+    """Adaptive-lambda LM on a single 6-dof pose (g2o Levenberg semantics:
+    gain ratio rho, lambda *= max(1/3, 1-(2 rho-1)^3) on success else *= nu)."""
+
+    H0, b0, F0 = _pose_only_normal_eq(T0, p_w, uv, weight, fx, fy, cx, cy)
+    lam0 = 1e-5 * jnp.max(jnp.diagonal(H0))
+
+    def body(_, carry):
+        T, lam, nu = carry
+        H, b, F = _pose_only_normal_eq(T, p_w, uv, weight, fx, fy, cx, cy)
+        A = H + lam * jnp.eye(6, dtype=H.dtype)
+        dx = jnp.linalg.solve(A, b)
+        T_new = se3.compose(se3.exp(dx), T)
+        _, _, F_new = _pose_only_normal_eq(T_new, p_w, uv, weight, fx, fy, cx, cy)
+        pred = 0.5 * jnp.dot(dx, lam * dx + b)
+        rho = (F - F_new) / jnp.maximum(pred, 1e-12)
+        accept = (rho > 0) & jnp.all(jnp.isfinite(dx))
+        T = jnp.where(accept, T_new, T)
+        lam = jnp.where(accept,
+                        lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                        lam * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        return T, lam, nu
+
+    T, _, _ = jax.lax.fori_loop(0, iters, body, (T0, lam0, jnp.float32(2.0)))
+    return T
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def pose_only_optimize(T_init: jnp.ndarray, p_w: jnp.ndarray, uv: jnp.ndarray,
+                       valid: jnp.ndarray, fx, fy, cx, cy,
+                       rounds: int = 4, iters: int = 10) -> PoseOnlyResult:
+    """The reference's 4x10 pose-only BA with between-round chi2 gating.
+
+    Between rounds every edge's chi2 is recomputed and edges above CHI2_TH
+    are excluded from the next round (they may come back, mirroring the
+    reference's setLevel dance, frontend.cpp:244-268). The final round runs
+    without the Huber kernel (frontend.cpp:262-265) — here: outliers already
+    excluded, weight=1 inside.
+    """
+    inlier = valid
+
+    T = T_init
+    for rnd in range(rounds):
+        w = (valid & inlier).astype(jnp.float32)
+        T = _lm_loop_6dof(T, p_w, uv, w, fx, fy, cx, cy, iters)
+        r, _, z_ok = reproject_residual(T, p_w, uv, fx, fy, cx, cy)
+        chi2 = jnp.sum(r * r, axis=-1)
+        inlier = valid & z_ok & (chi2 < CHI2_TH)
+    r, _, z_ok = reproject_residual(T, p_w, uv, fx, fy, cx, cy)
+    chi2 = jnp.sum(r * r, axis=-1)
+    inlier = valid & z_ok & (chi2 < CHI2_TH)
+    return PoseOnlyResult(T, inlier, jnp.sum(inlier.astype(jnp.int32)), chi2)
+
+
+# ---------------------------------------------------------------------------
+# Local bundle adjustment with Schur-complement landmark marginalization
+# ---------------------------------------------------------------------------
+
+BACKEND_CHI2_TH = 5.891   # backend threshold (reference backend.cpp:172)
+
+
+class LocalBAProblem(NamedTuple):
+    """Dense sliding-window BA state. W = window capacity, M = landmark
+    capacity, C = 2 eyes (left, right). All masked; shapes never change."""
+    kf_T_cw: jnp.ndarray      # [W, 3, 4]
+    kf_valid: jnp.ndarray     # [W] bool — slot holds a real keyframe
+    kf_fixed: jnp.ndarray     # [W] bool — pose held constant
+    lm_pos: jnp.ndarray       # [M, 3] world positions
+    lm_valid: jnp.ndarray     # [M] bool
+    lm_fixed: jnp.ndarray     # [M] bool (first obs outside window => fixed,
+                              #   reference backend.cpp:118-126)
+    obs_uv: jnp.ndarray       # [M, W, C, 2] pixel observations
+    obs_valid: jnp.ndarray    # [M, W, C] bool
+
+
+class LocalBAResult(NamedTuple):
+    kf_T_cw: jnp.ndarray      # [W, 3, 4] optimized poses
+    lm_pos: jnp.ndarray       # [M, 3] optimized landmarks
+    obs_valid: jnp.ndarray    # [M, W, C] with outlier edges detached
+    chi2: jnp.ndarray         # [M, W, C] final per-edge chi2
+    inlier_ratio: jnp.ndarray # [] float32
+
+
+def _ba_residuals(prob: LocalBAProblem, kf_T_cw, lm_pos, fx, fy, cx, cy, bl):
+    """All-edge residuals. Returns (r [M,W,C,2], p_cl [M,W,3], z_ok [M,W])."""
+    # left-camera points per (m, w): [M, W, 3]
+    p_cl = se3.transform(kf_T_cw[None, :, :, :], lm_pos[:, None, :])
+    baseline = jnp.stack([jnp.zeros_like(bl), bl])            # [C]
+    z = p_cl[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    xs = p_cl[..., 0:1] - baseline[None, None, :]             # [M, W, C]
+    u = fx * xs / safe_z[..., None] + cx
+    v = (fy * p_cl[..., 1] / safe_z)[..., None] + cy          # [M, W, C]
+    uv_hat = jnp.stack([u, jnp.broadcast_to(v, u.shape)], axis=-1)
+    r = prob.obs_uv - uv_hat                                  # [M, W, C, 2]
+    return r, p_cl, z > 0.05
+
+
+def _ba_cost_and_blocks(prob: LocalBAProblem, kf_T_cw, lm_pos,
+                        fx, fy, cx, cy, bl, edge_active):
+    """One linearization pass: cost F, Hessian blocks and gradients."""
+    r, p_cl, z_ok = _ba_residuals(prob, kf_T_cw, lm_pos, fx, fy, cx, cy, bl)
+    chi2 = jnp.sum(r * r, axis=-1)                            # [M, W, C]
+    w_edge = (edge_active & z_ok[..., None]).astype(jnp.float32)
+    hw = w_edge * huber_weight(chi2, BACKEND_CHI2_TH)         # [M, W, C]
+    F = jnp.sum(hw * chi2)
+
+    R_cw = se3.rotation(kf_T_cw)                              # [W, 3, 3]
+    baseline = jnp.stack([jnp.zeros_like(bl), bl])
+    M, W, C = chi2.shape
+    p_cl_b = jnp.broadcast_to(p_cl[:, :, None, :], (M, W, C, 3))
+    R_b = jnp.broadcast_to(R_cw[None, :, None], (M, W, C, 3, 3))
+    bas = jnp.broadcast_to(baseline[None, None, :], (M, W, C))
+    J_pose, J_point = reproject_jacobians(p_cl_b, R_b, fx, fy, bas)
+    # J_pose [M,W,C,2,6], J_point [M,W,C,2,3]
+    # mask fixed/invalid variables by zeroing their Jacobians
+    free_pose = (prob.kf_valid & ~prob.kf_fixed).astype(jnp.float32)
+    free_lm = (prob.lm_valid & ~prob.lm_fixed).astype(jnp.float32)
+    J_pose = J_pose * free_pose[None, :, None, None, None]
+    J_point = J_point * free_lm[:, None, None, None, None]
+
+    Hpp = jnp.einsum("mwcka,mwckb,mwc->wab", J_pose, J_pose, hw)     # [W,6,6]
+    Hll = jnp.einsum("mwcka,mwckb,mwc->mab", J_point, J_point, hw)   # [M,3,3]
+    Hpl = jnp.einsum("mwcka,mwckb,mwc->mwab", J_pose, J_point, hw)   # [M,W,6,3]
+    bp = -jnp.einsum("mwcka,mwck,mwc->wa", J_pose, r, hw)            # [W,6]
+    blm = -jnp.einsum("mwcka,mwck,mwc->ma", J_point, r, hw)          # [M,3]
+    return F, Hpp, Hll, Hpl, bp, blm
+
+
+def _schur_solve(Hpp, Hll, Hpl, bp, blm, lam, pose_free, lm_free):
+    """Damped Schur-reduced solve. Returns (dxp [W,6], dxl [M,3])."""
+    W = Hpp.shape[0]
+    M = Hll.shape[0]
+    eye3 = jnp.eye(3, dtype=Hll.dtype)
+    eye6 = jnp.eye(6, dtype=Hpp.dtype)
+    Hpp_d = Hpp + lam * eye6[None]
+    # landmarks with no observations / fixed: make their block identity so
+    # the batched inverse stays finite (their dxl is masked to 0 anyway).
+    Hll_d = Hll + lam * eye3[None] + (1.0 - lm_free)[:, None, None] * eye3[None]
+    Hll_inv = jnp.linalg.inv(Hll_d)                            # [M,3,3]
+
+    # Schur complement: S = Hpp_d - sum_m Hpl Hll^-1 Hpl^T
+    S_cross = jnp.einsum("mwab,mbc,mvdc->wvad", Hpl, Hll_inv, Hpl)
+    S = -S_cross
+    S = S.at[jnp.arange(W), jnp.arange(W)].add(Hpp_d)
+    bs = bp - jnp.einsum("mwab,mbc,mc->wa", Hpl, Hll_inv, blm)
+
+    # dense [6W, 6W] reduced camera system; fixed poses get identity rows
+    Sd = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
+    free = jnp.repeat(pose_free, 6)
+    mask = free[:, None] * free[None, :]
+    Sd = Sd * mask + jnp.diag(jnp.where(free > 0, 0.0, 1.0))
+    rhs = bs.reshape(-1) * free
+    L, low = jax.scipy.linalg.cho_factor(
+        Sd + 1e-6 * jnp.eye(W * 6, dtype=Sd.dtype), lower=True)
+    dxp = jax.scipy.linalg.cho_solve((L, low), rhs).reshape(W, 6)
+    dxp = dxp * pose_free[:, None]
+
+    # back-substitute landmarks
+    rhs_l = blm - jnp.einsum("mwab,wa->mb", Hpl, dxp)
+    dxl = jnp.einsum("mab,mb->ma", Hll_inv, rhs_l) * lm_free[:, None]
+    return dxp, dxl
+
+
+@functools.partial(jax.jit, static_argnames=("max_rounds", "iters"))
+def local_ba(prob: LocalBAProblem, fx, fy, cx, cy, baseline,
+             max_rounds: int = 5, iters: int = 10,
+             target_inlier_ratio: float = 0.7) -> LocalBAResult:
+    """Sliding-window local BA, g2o-LM semantics on dense masked tensors.
+
+    Outer loop mirrors the reference (backend.cpp:172-203): up to
+    `max_rounds` rounds of `iters` LM iterations; after each round edges
+    with chi2 > BACKEND_CHI2_TH are counted as outliers and the loop stops
+    once the inlier ratio exceeds `target_inlier_ratio` (further rounds are
+    frozen — shapes stay static). Afterwards outlier edges are detached
+    (reference backend.cpp:207-227).
+    """
+    bl = jnp.asarray(baseline, jnp.float32)
+    pose_free = (prob.kf_valid & ~prob.kf_fixed).astype(jnp.float32)
+    lm_has_obs = jnp.any(prob.obs_valid, axis=(1, 2))
+    lm_free = (prob.lm_valid & ~prob.lm_fixed & lm_has_obs).astype(jnp.float32)
+
+    def lm_inner(kf_T_cw, lm_pos, edge_active, n_iters):
+        F0, Hpp, *_ = _ba_cost_and_blocks(prob, kf_T_cw, lm_pos,
+                                          fx, fy, cx, cy, bl, edge_active)
+        lam0 = 1e-5 * jnp.max(jax.vmap(jnp.diag)(Hpp))
+
+        def body(_, carry):
+            T, lp, lam, nu = carry
+            F, Hpp, Hll, Hpl, bp, blm = _ba_cost_and_blocks(
+                prob, T, lp, fx, fy, cx, cy, bl, edge_active)
+            dxp, dxl = _schur_solve(Hpp, Hll, Hpl, bp, blm, lam,
+                                    pose_free, lm_free)
+            T_new = se3.compose(se3.exp(dxp), T)
+            lp_new = lp + dxl
+            F_new, *_ = _ba_cost_and_blocks(prob, T_new, lp_new,
+                                            fx, fy, cx, cy, bl, edge_active)
+            pred = 0.5 * (jnp.sum(dxp * (lam * dxp + bp)) +
+                          jnp.sum(dxl * (lam * dxl + blm)))
+            rho = (F - F_new) / jnp.maximum(pred, 1e-9)
+            finite = jnp.all(jnp.isfinite(dxp)) & jnp.all(jnp.isfinite(dxl))
+            accept = (rho > 0) & finite
+            T = jnp.where(accept, T_new, T)
+            lp = jnp.where(accept, lp_new, lp)
+            lam = jnp.where(accept,
+                            lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                            lam * nu)
+            nu = jnp.where(accept, 2.0, nu * 2.0)
+            return T, lp, lam, nu
+
+        T, lp, _, _ = jax.lax.fori_loop(
+            0, n_iters, body, (kf_T_cw, lm_pos, lam0, jnp.float32(2.0)))
+        return T, lp
+
+    base_active = prob.obs_valid & prob.lm_valid[:, None, None] \
+        & prob.kf_valid[None, :, None]
+
+    def round_body(_, carry):
+        kf_T_cw, lm_pos, inlier_edges, done = carry
+        T_new, lp_new = lm_inner(kf_T_cw, lm_pos, base_active & inlier_edges, iters)
+        kf_T_cw = jnp.where(done, kf_T_cw, T_new)
+        lm_pos = jnp.where(done, lm_pos, lp_new)
+        r, _, z_ok = _ba_residuals(prob, kf_T_cw, lm_pos, fx, fy, cx, cy, bl)
+        chi2 = jnp.sum(r * r, axis=-1)
+        new_inlier = (chi2 < BACKEND_CHI2_TH) & z_ok[..., None]
+        n_act = jnp.sum(base_active)
+        ratio = jnp.sum(new_inlier & base_active) / jnp.maximum(n_act, 1)
+        inlier_edges = jnp.where(done, inlier_edges, new_inlier)
+        done = done | (ratio > target_inlier_ratio)
+        return kf_T_cw, lm_pos, inlier_edges, done
+
+    init = (prob.kf_T_cw, prob.lm_pos,
+            jnp.ones_like(prob.obs_valid), jnp.asarray(False))
+    kf_T_cw, lm_pos, inlier_edges, _ = jax.lax.fori_loop(
+        0, max_rounds, round_body, init)
+
+    r, _, z_ok = _ba_residuals(prob, kf_T_cw, lm_pos, fx, fy, cx, cy, bl)
+    chi2 = jnp.sum(r * r, axis=-1)
+    final_inlier = (chi2 < BACKEND_CHI2_TH) & z_ok[..., None]
+    obs_valid = prob.obs_valid & final_inlier
+    n_act = jnp.sum(base_active)
+    ratio = jnp.sum(final_inlier & base_active) / jnp.maximum(n_act, 1)
+    return LocalBAResult(kf_T_cw, lm_pos, obs_valid, chi2,
+                         ratio.astype(jnp.float32))
