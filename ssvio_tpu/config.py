@@ -87,6 +87,12 @@ class Settings:
     lk_iters: int = 30                  # LK iterations (reference: 30)
     lk_eps: float = 0.01                # LK convergence epsilon (reference: 0.01)
     grid_cell: int = 32                 # detection grid cell size (spread heuristic)
+    # triangulation depth cap as a multiple of the baseline. The reference
+    # accepts any positive depth (frontend.cpp:496-544); without its
+    # always-on backend BA, distant triangulations carry z^2-scaled errors
+    # that bias translation, so the TPU engine gates them (ORB-SLAM-style
+    # close-point rule, default 60x ~= 32 m on KITTI).
+    max_depth_factor: float = 60.0
 
     # derived
     @property

@@ -39,6 +39,12 @@ class BlockNoiseTexture:
         iu2 = np.floor(u * 4.0 + 131).astype(np.int64) % t
         iv2 = np.floor(v * 4.0 + 57).astype(np.int64) % t
         val = 0.65 * val + 0.35 * self.blocks[iu2, iv2]
+        # coarse octave at 8m period keeps contrast alive at long range
+        # (otherwise distant surfaces alias into flat gray and the horizon
+        # band of the image carries no trackable texture)
+        iu3 = (np.floor(u / 8.0) + 811).astype(np.int64) % t
+        iv3 = (np.floor(v / 8.0) + 409).astype(np.int64) % t
+        val = 0.6 * val + 0.4 * self.blocks[iu3, iv3]
         # smooth octave (bilinear) at 3m period
         us, vs = u / 3.0, v / 3.0
         i0 = np.floor(us).astype(np.int64)
@@ -60,16 +66,30 @@ class SyntheticWorld:
     """Ground plane at y=+h, two walls at x=+/-w (camera convention: x right,
     y DOWN, z forward, like KITTI)."""
 
-    def __init__(self, seed: int = 0, ground_y: float = 1.6, wall_x: float = 8.0):
+    def __init__(self, seed: int = 0, ground_y: float = 1.6, wall_x: float = 8.0,
+                 ceiling_y: float = -6.0):
         self.ground_y = ground_y
         self.wall_x = wall_x
+        self.ceiling_y = ceiling_y
         self.tex_ground = BlockNoiseTexture(seed)
         self.tex_wall_l = BlockNoiseTexture(seed + 1)
         self.tex_wall_r = BlockNoiseTexture(seed + 2)
+        self.tex_ceil = BlockNoiseTexture(seed + 3)
 
     def render(self, T_wc: np.ndarray, fx: float, fy: float, cx: float, cy: float,
-               width: int, height: int) -> np.ndarray:
-        """Render a grayscale frame [H, W] float32 from camera pose T_wc [3,4]."""
+               width: int, height: int, supersample: int = 2) -> np.ndarray:
+        """Render a grayscale frame [H, W] float32 from camera pose T_wc [3,4].
+
+        `supersample` raycasts an s x s grid per pixel and box-averages:
+        point-sampled block textures otherwise alias, which injects ~0.4 px
+        of shimmer into LK tracking — enough to corrupt VO accuracy tests.
+        """
+        if supersample > 1:
+            s = supersample
+            img = self.render(T_wc, fx * s, fy * s, cx * s + (s - 1) / 2.0,
+                              cy * s + (s - 1) / 2.0, width * s, height * s,
+                              supersample=1)
+            return img.reshape(height, s, width, s).mean(axis=(1, 3)).astype(np.float32)
         R = T_wc[:3, :3].astype(np.float64)
         o = T_wc[:3, 3].astype(np.float64)
         u, v = np.meshgrid(np.arange(width, dtype=np.float64),
@@ -90,6 +110,8 @@ class SyntheticWorld:
         with np.errstate(divide="ignore", invalid="ignore"):
             tg = (self.ground_y - o[1]) / d_w[..., 1]
             shade(d_w[..., 1] > 1e-9, tg, self.tex_ground, 0, 2)
+            tc = (self.ceiling_y - o[1]) / d_w[..., 1]
+            shade(d_w[..., 1] < -1e-9, tc, self.tex_ceil, 0, 2)
             tl = (-self.wall_x - o[0]) / d_w[..., 0]
             shade(d_w[..., 0] < -1e-9, tl, self.tex_wall_l, 2, 1)
             tr = (self.wall_x - o[0]) / d_w[..., 0]

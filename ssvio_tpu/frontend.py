@@ -1,0 +1,228 @@
+"""Front-end: stereo VO tracking state machine on fixed-shape state.
+
+Capability parity with the reference FrontEnd
+(reference src/ssvio/frontend.cpp): the INITING / TRACKING_GOOD /
+TRACKING_BAD / LOST state machine (frontend.hpp:25-31), constant-velocity
+prior + projection-seeded LK against the last frame (TrackLastFrame,
+frontend.cpp:130-182), 4x10 pose-only LM with chi2 gating
+(EstimateCurrentPose, :184-300), status thresholds (Track, :94-114),
+keyframe creation on TRACKING_BAD with masked re-detection
+(DetectFeatures, :302-344), projection-seeded left->right LK
+(FindFeaturesInRight, :346-428), stereo triangulation of new features
+(TriangulateNewPoints, :496-544) and stereo map initialization
+(SteroInit/BuidInitMap, :430-494).
+
+TPU-first architecture: the per-frame hot path is ONE jitted function
+(`track_step`) over fixed-shape feature arrays; keyframe creation is a
+second jitted function. The only host<->device traffic per frame is the
+image upload and a scalar (pose + inlier count) readback; the Python layer
+does nothing but drive the state machine off that scalar — the reference's
+mutexed object graph becomes pure array dataflow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssvio_tpu import map as mapmod
+from ssvio_tpu.config import Settings
+from ssvio_tpu.ops import ba, camera, fast, lk, pyramid, sampling, se3, triangulation
+
+# status codes (reference frontend.hpp:25-31)
+INITING, TRACKING_GOOD, TRACKING_BAD, LOST = 0, 1, 2, 3
+
+
+class FeatState(NamedTuple):
+    """Current-frame feature set, fixed capacity N."""
+    xy: jnp.ndarray        # [N, 2]
+    lm_slot: jnp.ndarray   # [N] int32 landmark slot in MapState (-1 none)
+    valid: jnp.ndarray     # [N] bool
+
+
+class TrackOut(NamedTuple):
+    feat: FeatState
+    T_cw: jnp.ndarray
+    rel_motion: jnp.ndarray
+    n_inliers: jnp.ndarray
+
+
+class Frontend:
+    """Host-side driver owning the jitted steps. Not thread-anything:
+    the pipeline is synchronous dataflow (see SURVEY §7.3 'async pipeline
+    semantics without threads' — BA is applied between frames)."""
+
+    def __init__(self, settings: Settings, width: int, height: int,
+                 real_width: int | None = None, real_height: int | None = None):
+        s = settings
+        self.s = s
+        self.w, self.h = width, height            # padded device dims
+        self.rw = real_width or width             # true sensor dims (gates)
+        self.rh = real_height or height
+        self.n_feat = s.max_features
+        self.lk_params = lk.LKParams(window=s.lk_window, levels=s.lk_levels,
+                                     iters=s.lk_iters, eps=s.lk_eps)
+        # stereo disparities (fx*b/z) are much larger than temporal flow;
+        # one extra pyramid level widens the zero-seed basin accordingly
+        self.lk_params_stereo = self.lk_params._replace(levels=s.lk_levels + 1)
+        self.rig = camera.StereoRig.from_settings(s)
+        fxl = self.rig.intr_left
+        self._fx, self._fy = fxl.fx, fxl.fy
+        self._cx, self._cy = fxl.cx, fxl.cy
+        self._baseline = self.rig.baseline
+
+        self.track_step = jax.jit(self._track_step)
+        self.keyframe_step = jax.jit(self._keyframe_step,
+                                     static_argnames=("min_new_landmarks",))
+        self.build_pyramid = jax.jit(self._build_pyramid)
+
+    # ------------------------------------------------------------------
+    def _build_pyramid(self, img: jnp.ndarray) -> List[jnp.ndarray]:
+        return pyramid.build_lk_pyramid(img, self.s.lk_levels + 1)
+
+    # ------------------------------------------------------------------
+    def _track_step(self, pyr_last, pyr_cur, feat: FeatState,
+                    T_last, rel_motion, lm_pos, lm_valid) -> TrackOut:
+        """LK vs last frame (projection-seeded) + pose-only LM + gating."""
+        T_guess = se3.compose(rel_motion, T_last)
+        lm_idx = jnp.clip(feat.lm_slot, 0, lm_pos.shape[0] - 1)
+        has_lm = feat.valid & (feat.lm_slot >= 0) & lm_valid[lm_idx]
+        p_w = lm_pos[lm_idx]
+        seed = camera.world2pixel(self.rig.intr_left, T_guess, p_w)
+        in_img = sampling.in_bounds(seed, self.rh, self.rw, border=8.0)
+        seed = jnp.where((has_lm & in_img)[:, None], seed, feat.xy)
+
+        new_xy, ok, err = lk.track(pyr_last, pyr_cur, feat.xy, seed,
+                                   has_lm, self.lk_params)
+        # forward-backward gate: a track must return to its origin when
+        # tracked back. This breaks the prior-seeded positive feedback where
+        # LK "slides" with an overshooting constant-velocity guess on weak
+        # texture and the chi2 gate cannot notice (all features slide
+        # consistently).
+        # backward seed = the landed position itself (zero flow): the
+        # reverse track must find its own way home; seeding it with the
+        # origin would bias it into agreeing with mislocks.
+        xy_back, ok_b, _ = lk.track(pyr_cur, pyr_last, new_xy, new_xy,
+                                    has_lm & ok, self.lk_params)
+        fb = jnp.linalg.norm(xy_back - feat.xy, axis=-1)
+        in_real = sampling.in_bounds(new_xy, self.rh, self.rw, border=1.0)
+        tracked = has_lm & ok & ok_b & (fb < 0.6) & in_real
+
+        # Optimizer starts from T_LAST, not the extrapolated prior: the
+        # reference seeds its g2o solve with the prior (frontend.cpp:196-203)
+        # but with Huber + between-round chi2 gating a biased prior can latch
+        # (inliers get re-selected around the biased pose each round and the
+        # error feeds back through rel_motion frame after frame — measured
+        # 35x worse ATE on the synthetic corridor). The prior still seeds LK
+        # above, which is where it genuinely helps.
+        res = ba.pose_only_optimize(T_last, p_w, new_xy, tracked,
+                                    self._fx, self._fy, self._cx, self._cy)
+        # keep tracked features; drop pose-BA outliers (the reference flags
+        # their mappoints as outliers, frontend.cpp:283-294 — our GC happens
+        # at the map level when observations disappear)
+        feat_out = FeatState(xy=new_xy, lm_slot=feat.lm_slot,
+                             valid=tracked & res.inlier)
+        rel = se3.compose(res.T_cw, se3.inverse(T_last))
+        return TrackOut(feat_out, res.T_cw, rel, res.n_inliers)
+
+    # ------------------------------------------------------------------
+    def _detect_merge(self, img, feat: FeatState, max_new_per_cell: int = 4):
+        """Masked re-detection + compaction merge into the fixed feature set.
+
+        Existing valid features are compacted to the front; fresh FAST
+        detections (blocked within +-10 px of existing ones,
+        reference frontend.cpp:304-312) fill the remaining slots.
+        Returns (FeatState, is_new [N] bool).
+        """
+        N = self.n_feat
+        occ = fast.build_occupancy(self.h, self.w, feat.xy, feat.valid, radius=10)
+        # block the padding margins too
+        yy = jax.lax.broadcasted_iota(jnp.int32, (self.h, self.w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (self.h, self.w), 1)
+        border = (xx < 16) | (xx >= self.rw - 16) | (yy < 16) | (yy >= self.rh - 16)
+        det_xy, det_resp, det_valid = fast.detect_grid(
+            img, max_kps=N, cell=self.s.grid_cell,
+            ini_threshold=float(self.s.ini_th_fast),
+            min_threshold=float(self.s.min_th_fast),
+            occupancy=occ | border, kps_per_cell=max_new_per_cell)
+
+        order = jnp.argsort(~feat.valid, stable=True)     # valid first
+        ex_xy = feat.xy[order]
+        ex_lm = feat.lm_slot[order]
+        ex_valid = feat.valid[order]
+        n_exist = jnp.sum(ex_valid.astype(jnp.int32))
+        slot_idx = jnp.arange(N, dtype=jnp.int32)
+        # new detection k goes to slot n_exist + k
+        new_rank = slot_idx - n_exist                      # per-slot: which new det
+        take_new = (new_rank >= 0) & (new_rank < N) & ~ex_valid
+        new_idx = jnp.clip(new_rank, 0, N - 1)
+        new_ok = take_new & det_valid[new_idx]
+        xy = jnp.where(new_ok[:, None], det_xy[new_idx], ex_xy)
+        lm_slot = jnp.where(new_ok, -1, jnp.where(ex_valid, ex_lm, -1))
+        valid = ex_valid | new_ok
+        return FeatState(xy=xy, lm_slot=lm_slot, valid=valid), new_ok
+
+    # ------------------------------------------------------------------
+    def _stereo_match(self, pyr_l, pyr_r, feat: FeatState, T_cw, lm_pos):
+        """Left->right LK, projection-seeded where a landmark exists
+        (reference FindFeaturesInRight, frontend.cpp:346-428)."""
+        lm_idx = jnp.clip(feat.lm_slot, 0, lm_pos.shape[0] - 1)
+        has_lm = feat.valid & (feat.lm_slot >= 0)
+        p_cl = se3.transform(T_cw, lm_pos[lm_idx])
+        p_cr = p_cl + jnp.stack([-jnp.broadcast_to(self._baseline, p_cl[..., 0].shape),
+                                 jnp.zeros_like(p_cl[..., 0]),
+                                 jnp.zeros_like(p_cl[..., 0])], axis=-1)
+        seed = camera.camera2pixel(self.rig.intr_right, p_cr)
+        in_img = sampling.in_bounds(seed, self.rh, self.rw, border=8.0)
+        seed = jnp.where((has_lm & in_img)[:, None], seed, feat.xy)
+        xy_r, ok, err = lk.track(pyr_l, pyr_r, feat.xy, seed, feat.valid,
+                                 self.lk_params_stereo)
+        # forward-backward consistency: re-track right->left and demand the
+        # round trip lands within 0.6 px. Kills the repetitive-texture
+        # mislocks that otherwise produce systematically-deep triangulations
+        # (weak new corners are especially prone; the reference relies on
+        # per-feature chi2 gating downstream, which cannot catch a
+        # consistent mislock).
+        xy_back, ok_b, _ = lk.track(pyr_r, pyr_l, xy_r, xy_r,
+                                    ok & feat.valid, self.lk_params_stereo)
+        fb = jnp.linalg.norm(xy_back - feat.xy, axis=-1)
+        # rectified epipolar sanity: |dy| small, disparity positive
+        dy = jnp.abs(xy_r[:, 1] - feat.xy[:, 1])
+        disp = feat.xy[:, 0] - xy_r[:, 0]
+        ok = ok & ok_b & (fb < 0.6) & feat.valid & (dy < 2.0) & (disp > 0.1) \
+            & (err < 25.0)
+        return xy_r, ok
+
+    # ------------------------------------------------------------------
+    def _keyframe_step(self, pyr_l, pyr_r, feat: FeatState, T_cw,
+                       m: mapmod.MapState, min_new_landmarks: int = 0):
+        """Re-detect, stereo-match, triangulate new landmarks, insert KF.
+
+        Returns (feat', map', kf_slot, kf_gid, n_landmarks_created).
+        """
+        feat2, is_new = self._detect_merge(pyr_l[0], feat)
+        xy_r, has_r = self._stereo_match(pyr_l, pyr_r, feat2, T_cw, m.lm_pos)
+
+        # triangulate NEW features with a right match in the current camera
+        # frame, then lift to world through T_cw^-1
+        p_cam, tri_ok = triangulation.triangulate_stereo_rectified(
+            feat2.xy, xy_r, self._fx, self._fy, self._cx, self._cy,
+            self._baseline, min_disparity=0.5)
+        max_z = self.s.max_depth_factor * float(self.s.baseline)
+        depth_ok = (p_cam[:, 2] > 0.5) & (p_cam[:, 2] < max_z)
+        new_lm = is_new & has_r & tri_ok & depth_ok
+        p_w = camera.camera2world(T_cw, p_cam)
+
+        m2, kf_slot, kf_gid = mapmod.insert_keyframe(
+            m, T_cw, feat2.lm_slot, feat2.xy, xy_r, has_r, feat2.valid)
+        m3, lm_slots = mapmod.add_landmarks(
+            m2, kf_slot, kf_gid, p_w, feat2.xy, xy_r, has_r, new_lm)
+        feat3 = FeatState(xy=feat2.xy,
+                          lm_slot=jnp.where(lm_slots >= 0, lm_slots, feat2.lm_slot),
+                          valid=feat2.valid & ((feat2.lm_slot >= 0) | (lm_slots >= 0)))
+        n_created = jnp.sum((lm_slots >= 0).astype(jnp.int32))
+        return feat3, m3, kf_slot, kf_gid, n_created

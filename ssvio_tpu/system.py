@@ -1,0 +1,200 @@
+"""System facade: construction, wiring, and the per-frame step API.
+
+Capability parity with ssvio::System (reference src/ssvio/system.cpp:6-131,
+include/ssvio/system.hpp:15-37): construct from a config (the reference's
+YAML schema or a Settings object), then drive with
+`run_step(left, right, timestamp)`; export the trajectory in TUM format.
+
+Pipeline semantics: the reference runs frontend / backend (local BA) /
+loop closing on separate mutex-synchronized threads. Here the pipeline is
+deterministic dataflow with explicit sync points — local BA runs (jitted,
+on device) immediately after each keyframe insertion, loop closing right
+after BA (see SURVEY §7.3). This removes the reference's data races
+(e.g. its unsynchronized `need_optimization_` flag, backend.hpp:50) while
+keeping the same optimization cadence per keyframe.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssvio_tpu import frontend as fe
+from ssvio_tpu import map as mapmod
+from ssvio_tpu.config import Settings
+from ssvio_tpu.ops import ba, se3
+
+
+class System:
+    def __init__(self, settings: Settings | str, enable_backend: Optional[bool] = None,
+                 enable_loop_closing: Optional[bool] = None):
+        if isinstance(settings, str):
+            settings = Settings.from_yaml(settings)
+        self.s = settings
+        self.enable_backend = (settings.backend_open if enable_backend is None
+                               else enable_backend)
+        self.enable_loop = (settings.loop_closing_open if enable_loop_closing is None
+                            else enable_loop_closing)
+        # padded device image dims (static shapes; pyramid levels need /2^L)
+        div = 2 ** (settings.lk_levels + 1)
+        self.w = -(-settings.image_width // div) * div
+        self.h = -(-settings.image_height // div) * div
+        self.frontend = fe.Frontend(settings, self.w, self.h,
+                                    settings.image_width, settings.image_height)
+        self.map = mapmod.empty_map(settings.max_window, settings.max_landmarks)
+
+        self._local_ba = jax.jit(
+            lambda prob: ba.local_ba(prob, self.frontend._fx, self.frontend._fy,
+                                     self.frontend._cx, self.frontend._cy,
+                                     self.frontend._baseline))
+
+        # frontend state
+        self.status = fe.INITING
+        self.T_cw = se3.identity()
+        self.rel_motion = se3.identity()
+        self.feat = fe.FeatState(
+            xy=jnp.zeros((settings.max_features, 2), jnp.float32),
+            lm_slot=jnp.full((settings.max_features,), -1, jnp.int32),
+            valid=jnp.zeros((settings.max_features,), bool))
+        self.last_pyr = None
+        self.frame_id = -1
+
+        # host-side global records (unbounded; the active window is on device)
+        self.trajectory = []        # (timestamp, frame_id, T_wc [3,4] np)
+        self.keyframes = []         # dicts: gid, frame_id, timestamp, T_cw (np)
+        self.kf_rel_edges = []      # (gid_prev, gid, Z [3,4]) odometry edges
+        self.loopclosing = None     # attached lazily (module import cycle)
+        self.stats = {"n_keyframes": 0, "n_loops": 0, "track_ms": []}
+
+    # ------------------------------------------------------------------
+    def _pad(self, img: np.ndarray) -> jnp.ndarray:
+        h, w = img.shape
+        out = np.zeros((self.h, self.w), np.float32)
+        out[:h, :w] = img
+        if w < self.w:
+            out[:h, w:] = img[:, -1:]
+        if h < self.h:
+            out[h:, :] = out[h - 1: h, :]
+        return jnp.asarray(out)
+
+    # ------------------------------------------------------------------
+    def run_step(self, left: np.ndarray, right: np.ndarray,
+                 timestamp: float = 0.0) -> np.ndarray:
+        """Process one stereo pair. Returns the camera pose T_wc [3,4] np."""
+        self.frame_id += 1
+        img_l = self._pad(np.asarray(left, np.float32))
+        pyr_l = self.frontend.build_pyramid(img_l)
+
+        if self.status == fe.INITING:
+            img_r = self._pad(np.asarray(right, np.float32))
+            pyr_r = self.frontend.build_pyramid(img_r)
+            self._try_init(pyr_l, pyr_r, timestamp)
+        elif self.status in (fe.TRACKING_GOOD, fe.TRACKING_BAD):
+            out = self.frontend.track_step(
+                self.last_pyr, pyr_l, self.feat, self.T_cw, self.rel_motion,
+                self.map.lm_pos, self.map.lm_valid)
+            n_inl = int(out.n_inliers)
+            self.feat = out.feat
+            self.T_cw = out.T_cw
+            self.rel_motion = out.rel_motion
+            if n_inl > self.s.tracking_good:
+                self.status = fe.TRACKING_GOOD
+            elif n_inl > self.s.tracking_bad:
+                self.status = fe.TRACKING_BAD
+                img_r = self._pad(np.asarray(right, np.float32))
+                pyr_r = self.frontend.build_pyramid(img_r)
+                self._insert_keyframe(pyr_l, pyr_r, timestamp)
+            else:
+                # reference marks LOST and dead-ends (frontend.cpp:62-66 TODO)
+                self.status = fe.LOST
+        # LOST: reference does nothing further; parity (relocalization is a
+        # capability extension tracked for the loop-closing module).
+
+        self.last_pyr = pyr_l
+        T_wc = np.asarray(se3.inverse(self.T_cw))
+        self.trajectory.append((timestamp, self.frame_id, T_wc))
+        return T_wc
+
+    # ------------------------------------------------------------------
+    def _try_init(self, pyr_l, pyr_r, timestamp):
+        """Stereo init (reference SteroInit, frontend.cpp:430-446)."""
+        empty = fe.FeatState(
+            xy=jnp.zeros((self.s.max_features, 2), jnp.float32),
+            lm_slot=jnp.full((self.s.max_features,), -1, jnp.int32),
+            valid=jnp.zeros((self.s.max_features,), bool))
+        feat, m, kf_slot, kf_gid, n_created = self.frontend.keyframe_step(
+            pyr_l, pyr_r, empty, se3.identity(), self.map)
+        if int(n_created) >= self.s.min_init_landmarks:
+            self.feat = feat
+            self.map = m
+            self.T_cw = se3.identity()
+            self.rel_motion = se3.identity()
+            self.status = fe.TRACKING_GOOD
+            self._record_keyframe(int(kf_gid), timestamp)
+        # else: stay INITING and retry next frame (map object unchanged —
+        # keyframe_step returned a new value we simply drop)
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, pyr_l, pyr_r, timestamp):
+        feat, m, kf_slot, kf_gid, n_created = self.frontend.keyframe_step(
+            pyr_l, pyr_r, self.feat, self.T_cw, self.map)
+        self.feat = feat
+        self.map = m
+        self._record_keyframe(int(kf_gid), timestamp)
+        if self.enable_backend:
+            prob = mapmod.ba_problem_from_map(self.map)
+            res = self._local_ba(prob)
+            self.map = mapmod.apply_ba_result(self.map, res.kf_T_cw,
+                                              res.lm_pos, res.obs_valid)
+            # current pose rides the optimized keyframe
+            self.T_cw = self.map.kf_pose[int(kf_slot)]
+            self._refresh_keyframe_records()
+        if self.loopclosing is not None:
+            self.loopclosing.process_keyframe(int(kf_gid), int(kf_slot), pyr_l)
+
+    # ------------------------------------------------------------------
+    def _record_keyframe(self, kf_gid: int, timestamp: float):
+        T_cw_np = np.asarray(self.T_cw)
+        self.keyframes.append({"gid": kf_gid, "frame_id": self.frame_id,
+                               "timestamp": timestamp, "T_cw": T_cw_np})
+        if len(self.keyframes) > 1:
+            prev = self.keyframes[-2]
+            Z = np.asarray(se3.compose(jnp.asarray(T_cw_np),
+                                       se3.inverse(jnp.asarray(prev["T_cw"]))))
+            self.kf_rel_edges.append((prev["gid"], kf_gid, Z))
+        self.stats["n_keyframes"] += 1
+
+    def _refresh_keyframe_records(self):
+        """Pull BA-updated poses for keyframes still in the window."""
+        kf_gid = np.asarray(self.map.kf_gid)
+        kf_valid = np.asarray(self.map.kf_valid)
+        kf_pose = np.asarray(self.map.kf_pose)
+        by_gid = {int(g): kf_pose[i] for i, g in enumerate(kf_gid) if kf_valid[i]}
+        for rec in self.keyframes[-len(by_gid) - 2:]:
+            if rec["gid"] in by_gid:
+                rec["T_cw"] = by_gid[rec["gid"]]
+
+    # ------------------------------------------------------------------
+    def keyframe_trajectory(self):
+        """(timestamps [K], poses T_wc [K,3,4]) for TUM export (the
+        reference exports keyframe poses, pangolin_window_impl.cpp:362-395)."""
+        ts = np.array([k["timestamp"] for k in self.keyframes])
+        poses = np.stack([np.asarray(se3.inverse(jnp.asarray(k["T_cw"])))
+                          for k in self.keyframes]) if self.keyframes else np.zeros((0, 3, 4))
+        return ts, poses
+
+    def frame_trajectory(self):
+        ts = np.array([t for t, _, _ in self.trajectory])
+        poses = np.stack([p for _, _, p in self.trajectory]) if self.trajectory \
+            else np.zeros((0, 3, 4))
+        return ts, poses
+
+    def save_trajectory_tum(self, path: str, keyframes_only: bool = True):
+        from ssvio_tpu.dataio import tum
+        ts, poses = (self.keyframe_trajectory() if keyframes_only
+                     else self.frame_trajectory())
+        tum.save_tum(path, ts, poses)

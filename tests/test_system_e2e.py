@@ -1,0 +1,95 @@
+"""End-to-end system test: synthetic stereo sequence -> trajectory ATE.
+
+The synthetic analog of the reference's KITTI integration run
+(reference test/test_system.cpp:16-53 + evo evaluation).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ssvio_tpu.config import Settings
+from ssvio_tpu.dataio import synthetic
+from ssvio_tpu.eval import ate
+
+FX = FY = 360.0
+CX, CY = 310.0, 92.0
+BASELINE = 0.54
+W, H = 620, 188
+
+
+def small_settings(**kw):
+    s = Settings()
+    s.cam_left = dataclasses.replace(s.cam_left, fx=FX, fy=FY, cx=CX, cy=CY)
+    s.cam_right = dataclasses.replace(s.cam_right, fx=FX, fy=FY, cx=CX, cy=CY)
+    s.image_width, s.image_height = W, H
+    s.baseline_fx = BASELINE * FX
+    s.max_features = 256
+    s.max_landmarks = 4096
+    s.max_window = 8
+    s.active_map_size = 6
+    s.min_init_landmarks = 60
+    s.tracking_good = 50
+    s.tracking_bad = 10
+    s.grid_cell = 24
+    for k, v in kw.items():
+        setattr(s, k, v)
+    return s
+
+
+@pytest.fixture(scope="module")
+def straight_seq():
+    world = synthetic.SyntheticWorld(seed=9)
+    poses = synthetic.straight_trajectory(30, speed=0.35, yaw_rate=0.004)
+    L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
+                                            BASELINE, W, H)
+    return L, R, poses
+
+
+def run_system(L, R, s):
+    from ssvio_tpu.system import System
+    sys_ = System(s, enable_loop_closing=False)
+    est = [sys_.run_step(L[i], R[i], i * 0.1) for i in range(len(L))]
+    return sys_, np.stack(est)
+
+
+def test_system_tracks_straight_sequence_no_ba(straight_seq):
+    L, R, gt = straight_seq
+    s = small_settings(backend_open=False)
+    sys_, est = run_system(L, R, s)
+    from ssvio_tpu import frontend as fe
+    assert sys_.status in (fe.TRACKING_GOOD, fe.TRACKING_BAD), sys_.status
+    stats = ate.ape_translation(est[:, :, 3], gt[:, :, 3])
+    # ~10m trajectory: frame-to-frame VO should stay well under 0.5 m RMSE
+    assert stats["rmse"] < 0.5, stats
+    # scale sanity (no alignment): total path length within 15%
+    path_est = np.linalg.norm(np.diff(est[:, :, 3], axis=0), axis=1).sum()
+    path_gt = np.linalg.norm(np.diff(gt[:, :, 3], axis=0), axis=1).sum()
+    assert abs(path_est - path_gt) / path_gt < 0.15, (path_est, path_gt)
+
+
+def test_system_with_backend_ba(straight_seq):
+    L, R, gt = straight_seq
+    s = small_settings(backend_open=True)
+    sys_, est = run_system(L, R, s)
+    stats = ate.ape_translation(est[:, :, 3], gt[:, :, 3])
+    assert stats["rmse"] < 0.5, stats
+    # keyframe trajectory exports cleanly
+    ts, kf_poses = sys_.keyframe_trajectory()
+    assert len(ts) == sys_.stats["n_keyframes"] >= 1
+    kf_stats = ate.ape_translation(
+        kf_poses[:, :, 3],
+        gt[[sys_.keyframes[i]["frame_id"] for i in range(len(ts))]][:, :, 3])
+    assert kf_stats["rmse"] < 0.5, kf_stats
+
+
+def test_system_tum_export(straight_seq, tmp_path):
+    L, R, gt = straight_seq
+    s = small_settings(backend_open=False)
+    sys_, est = run_system(L[:10], R[:10], s)
+    p = str(tmp_path / "kf.txt")
+    sys_.save_trajectory_tum(p)
+    from ssvio_tpu.dataio import tum
+    ts, poses = tum.load_tum(p)
+    assert len(ts) >= 1
