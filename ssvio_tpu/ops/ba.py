@@ -232,8 +232,14 @@ def _ba_residuals(prob: LocalBAProblem, kf_T_cw, lm_pos, fx, fy, cx, cy, bl):
 
 
 def _ba_cost_and_blocks(prob: LocalBAProblem, kf_T_cw, lm_pos,
-                        fx, fy, cx, cy, bl, edge_active):
-    """One linearization pass: cost F, Hessian blocks and gradients."""
+                        fx, fy, cx, cy, bl, edge_active, axis_name=None):
+    """One linearization pass: cost F, Hessian blocks and gradients.
+
+    With `axis_name` set, the landmark axis M is assumed sharded across that
+    mesh axis (shard_map): per-landmark blocks (Hll, Hpl, blm) stay local to
+    the shard, while the pose-side sums (F, Hpp, bp) are combined with a
+    `psum` over ICI — the distributed-BA reduction of SURVEY §2.3.
+    """
     r, p_cl, z_ok = _ba_residuals(prob, kf_T_cw, lm_pos, fx, fy, cx, cy, bl)
     chi2 = jnp.sum(r * r, axis=-1)                            # [M, W, C]
     w_edge = (edge_active & z_ok[..., None]).astype(jnp.float32)
@@ -259,11 +265,22 @@ def _ba_cost_and_blocks(prob: LocalBAProblem, kf_T_cw, lm_pos,
     Hpl = jnp.einsum("mwcka,mwckb,mwc->mwab", J_pose, J_point, hw)   # [M,W,6,3]
     bp = -jnp.einsum("mwcka,mwck,mwc->wa", J_pose, r, hw)            # [W,6]
     blm = -jnp.einsum("mwcka,mwck,mwc->ma", J_point, r, hw)          # [M,3]
+    if axis_name is not None:
+        F = jax.lax.psum(F, axis_name)
+        Hpp = jax.lax.psum(Hpp, axis_name)
+        bp = jax.lax.psum(bp, axis_name)
     return F, Hpp, Hll, Hpl, bp, blm
 
 
-def _schur_solve(Hpp, Hll, Hpl, bp, blm, lam, pose_free, lm_free):
-    """Damped Schur-reduced solve. Returns (dxp [W,6], dxl [M,3])."""
+def _schur_solve(Hpp, Hll, Hpl, bp, blm, lam, pose_free, lm_free,
+                 axis_name=None):
+    """Damped Schur-reduced solve. Returns (dxp [W,6], dxl [M,3]).
+
+    With `axis_name`: Hpp/bp are already global; the landmark-marginalized
+    cross terms are shard-local partial sums combined here with psum, the
+    tiny reduced camera system is solved redundantly on every shard
+    (cheaper than gathering), and back-substitution stays local.
+    """
     W = Hpp.shape[0]
     M = Hll.shape[0]
     eye3 = jnp.eye(3, dtype=Hll.dtype)
@@ -276,9 +293,13 @@ def _schur_solve(Hpp, Hll, Hpl, bp, blm, lam, pose_free, lm_free):
 
     # Schur complement: S = Hpp_d - sum_m Hpl Hll^-1 Hpl^T
     S_cross = jnp.einsum("mwab,mbc,mvdc->wvad", Hpl, Hll_inv, Hpl)
+    corr = jnp.einsum("mwab,mbc,mc->wa", Hpl, Hll_inv, blm)
+    if axis_name is not None:
+        S_cross = jax.lax.psum(S_cross, axis_name)
+        corr = jax.lax.psum(corr, axis_name)
     S = -S_cross
     S = S.at[jnp.arange(W), jnp.arange(W)].add(Hpp_d)
-    bs = bp - jnp.einsum("mwab,mbc,mc->wa", Hpl, Hll_inv, blm)
+    bs = bp - corr
 
     # dense [6W, 6W] reduced camera system; fixed poses get identity rows
     Sd = S.transpose(0, 2, 1, 3).reshape(W * 6, W * 6)
@@ -297,10 +318,12 @@ def _schur_solve(Hpp, Hll, Hpl, bp, blm, lam, pose_free, lm_free):
     return dxp, dxl
 
 
-@functools.partial(jax.jit, static_argnames=("max_rounds", "iters"))
+@functools.partial(jax.jit, static_argnames=("max_rounds", "iters",
+                                              "axis_name"))
 def local_ba(prob: LocalBAProblem, fx, fy, cx, cy, baseline,
              max_rounds: int = 5, iters: int = 10,
-             target_inlier_ratio: float = 0.7) -> LocalBAResult:
+             target_inlier_ratio: float = 0.7,
+             axis_name: str | None = None) -> LocalBAResult:
     """Sliding-window local BA, g2o-LM semantics on dense masked tensors.
 
     Outer loop mirrors the reference (backend.cpp:172-203): up to
@@ -317,23 +340,33 @@ def local_ba(prob: LocalBAProblem, fx, fy, cx, cy, baseline,
 
     def lm_inner(kf_T_cw, lm_pos, edge_active, n_iters):
         F0, Hpp, *_ = _ba_cost_and_blocks(prob, kf_T_cw, lm_pos,
-                                          fx, fy, cx, cy, bl, edge_active)
+                                          fx, fy, cx, cy, bl, edge_active,
+                                          axis_name)
         lam0 = 1e-5 * jnp.max(jax.vmap(jnp.diag)(Hpp))
 
         def body(_, carry):
             T, lp, lam, nu = carry
             F, Hpp, Hll, Hpl, bp, blm = _ba_cost_and_blocks(
-                prob, T, lp, fx, fy, cx, cy, bl, edge_active)
+                prob, T, lp, fx, fy, cx, cy, bl, edge_active, axis_name)
             dxp, dxl = _schur_solve(Hpp, Hll, Hpl, bp, blm, lam,
-                                    pose_free, lm_free)
+                                    pose_free, lm_free, axis_name)
             T_new = se3.compose(se3.exp(dxp), T)
             lp_new = lp + dxl
             F_new, *_ = _ba_cost_and_blocks(prob, T_new, lp_new,
-                                            fx, fy, cx, cy, bl, edge_active)
-            pred = 0.5 * (jnp.sum(dxp * (lam * dxp + bp)) +
-                          jnp.sum(dxl * (lam * dxl + blm)))
+                                            fx, fy, cx, cy, bl, edge_active,
+                                            axis_name)
+            pred_l = jnp.sum(dxl * (lam * dxl + blm))
+            if axis_name is not None:
+                pred_l = jax.lax.psum(pred_l, axis_name)
+            pred = 0.5 * (jnp.sum(dxp * (lam * dxp + bp)) + pred_l)
             rho = (F - F_new) / jnp.maximum(pred, 1e-9)
-            finite = jnp.all(jnp.isfinite(dxp)) & jnp.all(jnp.isfinite(dxl))
+            finite_l = jnp.all(jnp.isfinite(dxl)).astype(jnp.float32)
+            if axis_name is not None:
+                # replicate the shard-local finiteness verdict so the accept
+                # decision (and the replicated carries it gates) stays
+                # consistent across the mesh
+                finite_l = jax.lax.pmin(finite_l, axis_name)
+            finite = jnp.all(jnp.isfinite(dxp)) & (finite_l > 0)
             accept = (rho > 0) & finite
             T = jnp.where(accept, T_new, T)
             lp = jnp.where(accept, lp_new, lp)
@@ -359,7 +392,11 @@ def local_ba(prob: LocalBAProblem, fx, fy, cx, cy, baseline,
         chi2 = jnp.sum(r * r, axis=-1)
         new_inlier = (chi2 < BACKEND_CHI2_TH) & z_ok[..., None]
         n_act = jnp.sum(base_active)
-        ratio = jnp.sum(new_inlier & base_active) / jnp.maximum(n_act, 1)
+        n_inl = jnp.sum(new_inlier & base_active)
+        if axis_name is not None:
+            n_act = jax.lax.psum(n_act, axis_name)
+            n_inl = jax.lax.psum(n_inl, axis_name)
+        ratio = n_inl / jnp.maximum(n_act, 1)
         inlier_edges = jnp.where(done, inlier_edges, new_inlier)
         done = done | (ratio > target_inlier_ratio)
         return kf_T_cw, lm_pos, inlier_edges, done
@@ -374,6 +411,10 @@ def local_ba(prob: LocalBAProblem, fx, fy, cx, cy, baseline,
     final_inlier = (chi2 < BACKEND_CHI2_TH) & z_ok[..., None]
     obs_valid = prob.obs_valid & final_inlier
     n_act = jnp.sum(base_active)
-    ratio = jnp.sum(final_inlier & base_active) / jnp.maximum(n_act, 1)
+    n_inl = jnp.sum(final_inlier & base_active)
+    if axis_name is not None:
+        n_act = jax.lax.psum(n_act, axis_name)
+        n_inl = jax.lax.psum(n_inl, axis_name)
+    ratio = n_inl / jnp.maximum(n_act, 1)
     return LocalBAResult(kf_T_cw, lm_pos, obs_valid, chi2,
                          ratio.astype(jnp.float32))
