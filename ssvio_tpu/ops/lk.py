@@ -6,13 +6,23 @@ Capability parity with the reference's cv::calcOpticalFlowPyrLK usage
 (OPTFLOW_USE_INITIAL_FLOW — the constant-velocity / projection prior is the
 start point at the finest level).
 
-TPU-first design: no per-keypoint loops — the whole keypoint set advances
-together. Each KLT iteration is a fused batch of bilinear gathers
-([N, 121] window taps), elementwise VPU math, and a closed-form 2x2 solve.
-Convergence is handled with a freeze mask inside `lax.fori_loop`, keeping
-shapes static. Template gradients are sampled once per level (classic KLT:
-the spatial-gradient matrix G comes from the template window and stays fixed
-across iterations).
+TPU-first design — the key observation is that the KLT window moves as a
+RIGID TRANSLATION, so every sample in the window shares one fractional
+offset. Sampling the window therefore needs NO per-element gathers:
+
+  1. Per level, each keypoint extracts one fixed-size patch around its
+     integer position (template + gradients from the previous image, a
+     margin-padded search patch from the current image) — a vmapped
+     `lax.dynamic_slice`, the only "gather"-like op, once per level.
+  2. Every KLT iteration then samples its 11x11 window as ONE dynamic
+     slice of the small patch plus a 4-corner bilinear blend with scalar
+     weights — pure VPU math on [N, 11, 11] tensors.
+
+This removes the scattered image-wide gathers (which cost ~200 ms/frame on
+TPU) from the 30-iteration hot loop. Convergence uses a freeze mask inside
+`lax.fori_loop`; shapes are static everywhere. The spatial-gradient matrix
+G comes from the template window and stays fixed across iterations
+(classic forward-additive KLT, as in OpenCV).
 """
 
 from __future__ import annotations
@@ -24,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax import lax
+
 from ssvio_tpu.ops import pyramid as pyr_ops
 from ssvio_tpu.ops import sampling
 
@@ -34,13 +46,124 @@ class LKParams(NamedTuple):
     iters: int = 30
     eps: float = 0.01
     min_eig: float = 1e-4     # per-pixel min eigenvalue threshold (OpenCV-like)
+    margin: int = 8           # search slack around the seed per level (px)
+    # 'auto' = Pallas kernel on TPU, XLA elsewhere; 'xla' forces the
+    # vmapped-dynamic-slice path; 'pallas_interpret' runs the kernel in
+    # interpreter mode (CPU parity tests).
+    backend: str = "auto"
 
 
-@functools.lru_cache()
-def _window_offsets(window: int) -> np.ndarray:
-    r = window // 2
-    ys, xs = np.mgrid[-r:r + 1, -r:r + 1]
-    return np.stack([xs.ravel(), ys.ravel()], axis=-1).astype(np.float32)  # [K, 2]
+def _pallas_mode(params: "LKParams"):
+    """None = XLA path, else the `interpret` flag for the Pallas kernel."""
+    if params.backend == "xla":
+        return None
+    if params.backend == "pallas_interpret":
+        return True
+    if params.backend == "pallas":
+        return False
+    import jax
+    return False if jax.default_backend() == "tpu" else None
+
+
+def _extract_patches(img: jnp.ndarray, top_left: jnp.ndarray, size: int):
+    """Vmapped dynamic-slice patch extraction.
+
+    top_left: [N, 2] INTEGER (x, y). Returns (patches [N, size, size],
+    actual_top_left [N, 2]) — lax.dynamic_slice clamps at borders, so the
+    clamped origin is returned for correct local coordinates.
+    """
+    h, w = img.shape
+    x0 = jnp.clip(top_left[:, 0], 0, w - size)
+    y0 = jnp.clip(top_left[:, 1], 0, h - size)
+
+    def one(y, x):
+        return lax.dynamic_slice(img, (y, x), (size, size))
+
+    patches = jax.vmap(one)(y0, x0)
+    return patches, jnp.stack([x0, y0], axis=-1)
+
+
+def _sample_window(patches: jnp.ndarray, local_tl: jnp.ndarray, win: int):
+    """Bilinear window sample from per-keypoint patches.
+
+    patches: [N, P, P]; local_tl: [N, 2] float window top-left in patch
+    coords. Returns [N, win, win]. One dynamic slice + 4-corner scalar blend
+    per keypoint (vmapped) — no element gathers.
+    """
+    Pp = patches.shape[-1]
+    base_x = jnp.clip(jnp.floor(local_tl[:, 0]), 0, Pp - win - 1)
+    base_y = jnp.clip(jnp.floor(local_tl[:, 1]), 0, Pp - win - 1)
+    fx = (local_tl[:, 0] - base_x)[:, None, None]
+    fy = (local_tl[:, 1] - base_y)[:, None, None]
+
+    def one(patch, y, x):
+        return lax.dynamic_slice(patch, (y, x), (win + 1, win + 1))
+
+    s = jax.vmap(one)(patches, base_y.astype(jnp.int32), base_x.astype(jnp.int32))
+    return ((1 - fy) * (1 - fx) * s[:, :win, :win]
+            + (1 - fy) * fx * s[:, :win, 1:win + 1]
+            + fy * (1 - fx) * s[:, 1:win + 1, :win]
+            + fy * fx * s[:, 1:win + 1, 1:win + 1])
+
+
+def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
+                        params: LKParams, interpret: bool):
+    """Pallas-kernel level: precompute patch-coordinate state, launch."""
+    from ssvio_tpu.ops import lk_pallas
+
+    win = params.window
+    r = win // 2
+    margin = params.margin
+    h, w = img_cur.shape
+    LANES = lk_pallas.LANES
+    rup8 = lambda v: -(-v // 8) * 8
+    # patch footprints: +7 rows of slack so 8-aligned row origins still
+    # cover the window; x gets a full second lane tile (128-aligned origin);
+    # >= 32 rows so the kernel's 32-row power-of-2 slab always fits
+    pty = max(rup8(win + 2 + 7), 32)
+    pcy = max(rup8(win + 2 * margin + 2 + 7), 32)
+
+    # pad tiny coarse levels so the patch footprint always fits (padding is
+    # never sampled by ACCEPTED tracks — border gating keeps windows inside
+    # the true image)
+    hp = max(rup8(h), pcy)
+    wp = max(-(-w // 128) * 128, LANES)
+    if (hp, wp) != (h, w):
+        pad = ((0, hp - h), (0, wp - w))
+        img_prev_p = jnp.pad(img_prev, pad)
+        img_cur_p = jnp.pad(img_cur, pad)
+        gx_p = jnp.pad(gx, pad)
+        gy_p = jnp.pad(gy, pad)
+    else:
+        img_prev_p, img_cur_p, gx_p, gy_p = img_prev, img_cur, gx, gy
+
+    def aligned_origin(tl, py):
+        ox = jnp.clip((tl[:, 0] // 128) * 128, 0, wp - LANES)
+        oy = jnp.clip((tl[:, 1] // 8) * 8, 0, hp - py)
+        return jnp.stack([ox, oy], axis=-1)
+
+    tlp = jnp.stack([jnp.floor(pts_prev[:, 0]).astype(jnp.int32) - r,
+                     jnp.floor(pts_prev[:, 1]).astype(jnp.int32) - r], axis=-1)
+    org_T = aligned_origin(tlp, pty)
+    localT = pts_prev - r - org_T.astype(pts_prev.dtype)
+    tlc = jnp.stack([jnp.round(pts_guess[:, 0]).astype(jnp.int32) - r,
+                     jnp.round(pts_guess[:, 1]).astype(jnp.int32) - r - margin],
+                    axis=-1)
+    org_C = aligned_origin(tlc, pcy)
+    org_Cf = org_C.astype(pts_guess.dtype)
+    local0 = pts_guess - r - org_Cf
+    frozen0 = (~sampling.in_bounds(pts_guess, h, w, border=r + 1)) \
+        .astype(jnp.int32)[:, None]
+
+    local_out, flag = lk_pallas.lk_level_pallas(
+        img_prev_p, gx_p, gy_p, img_cur_p, org_T, org_C, localT, local0,
+        frozen0, win=win, pty=pty, pcy=pcy, iters=params.iters,
+        eps=params.eps, min_eig=params.min_eig, interpret=interpret)
+    pts_out = org_Cf + r + local_out
+    ok = (flag[:, 0] > 0) & sampling.in_bounds(pts_out, h, w, border=1.0) \
+        & sampling.in_bounds(pts_prev, img_prev.shape[0], img_prev.shape[1],
+                             border=1.0)
+    return pts_out, ok
 
 
 def _track_level(img_prev: jnp.ndarray, img_cur: jnp.ndarray,
@@ -48,45 +171,72 @@ def _track_level(img_prev: jnp.ndarray, img_cur: jnp.ndarray,
                  pts_prev: jnp.ndarray, pts_guess: jnp.ndarray,
                  params: LKParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One pyramid level of KLT. Returns (pts_cur [N,2], ok [N])."""
-    offs = jnp.asarray(_window_offsets(params.window))           # [K, 2]
-    k = offs.shape[0]
-    taps_prev = pts_prev[:, None, :] + offs[None]                # [N, K, 2]
-    T = sampling.gather_bilinear(img_prev, taps_prev)            # [N, K]
-    Gx = sampling.gather_bilinear(gx, taps_prev)
-    Gy = sampling.gather_bilinear(gy, taps_prev)
-    gxx = jnp.sum(Gx * Gx, axis=1)
-    gxy = jnp.sum(Gx * Gy, axis=1)
-    gyy = jnp.sum(Gy * Gy, axis=1)
+    mode = _pallas_mode(params)
+    if mode is not None:
+        return _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev,
+                                   pts_guess, params, interpret=mode)
+    win = params.window
+    r = win // 2
+    margin = params.margin
+    h, w = img_cur.shape
+    Pt = win + 2                      # template patch (fixed position)
+    # search patch, capped so it fits the (possibly tiny coarse) level
+    Pc = min(win + 2 * margin + 2, h, w)
+
+    # --- template + gradient windows at the (fractional) prev position
+    tl_prev_i = jnp.floor(pts_prev).astype(jnp.int32) - r
+    patch_T, org_T = _extract_patches(img_prev, tl_prev_i, Pt)
+    patch_gx, _ = _extract_patches(gx, tl_prev_i, Pt)
+    patch_gy, _ = _extract_patches(gy, tl_prev_i, Pt)
+    local_T = pts_prev - r - org_T.astype(pts_prev.dtype)
+    T = _sample_window(patch_T, local_T, win)
+    Gx = _sample_window(patch_gx, local_T, win)
+    Gy = _sample_window(patch_gy, local_T, win)
+
+    gxx = jnp.sum(Gx * Gx, axis=(1, 2))
+    gxy = jnp.sum(Gx * Gy, axis=(1, 2))
+    gyy = jnp.sum(Gy * Gy, axis=(1, 2))
     det = gxx * gyy - gxy * gxy
     trace = gxx + gyy
     min_eig = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det, 0.0))) * 0.5
-    good_g = (min_eig / k) > params.min_eig
+    good_g = (min_eig / (win * win)) > params.min_eig
     inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
 
-    h, w = img_cur.shape
-    r = params.window // 2
+    # --- current-image search patches around the integer seed
+    tl_cur_i = jnp.round(pts_guess).astype(jnp.int32) - (r + margin)
+    patch_C, org_C = _extract_patches(img_cur, tl_cur_i, Pc)
+    org_Cf = org_C.astype(pts_guess.dtype)
 
     def body(_, carry):
         pts, frozen = carry
-        taps_cur = pts[:, None, :] + offs[None]
-        I = sampling.gather_bilinear(img_cur, taps_cur)
-        diff = T - I                                             # [N, K]
-        bx = jnp.sum(diff * Gx, axis=1)
-        by = jnp.sum(diff * Gy, axis=1)
+        local_tl = pts - r - org_Cf                     # window TL in patch
+        I = _sample_window(patch_C, local_tl, win)
+        diff = T - I
+        bx = jnp.sum(diff * Gx, axis=(1, 2))
+        by = jnp.sum(diff * Gy, axis=(1, 2))
         dx = (gyy * bx - gxy * by) * inv_det
         dy = (gxx * by - gxy * bx) * inv_det
         delta = jnp.stack([dx, dy], axis=-1)
         step = jnp.where((frozen | ~good_g)[:, None], 0.0, delta)
         new_pts = pts + step
         converged = jnp.sum(delta * delta, axis=-1) < params.eps ** 2
-        oob = ~sampling.in_bounds(new_pts, h, w, border=r + 1)
+        # leaving the search patch (or the image) freezes the point
+        new_local = new_pts - r - org_Cf
+        oob = ((new_local[:, 0] < 0) | (new_local[:, 1] < 0)
+               | (new_local[:, 0] > Pc - win - 1)
+               | (new_local[:, 1] > Pc - win - 1)
+               | ~sampling.in_bounds(new_pts, h, w, border=r + 1))
         return new_pts, frozen | converged | oob
 
     pts0 = pts_guess
-    frozen0 = ~sampling.in_bounds(pts0, h, w, border=r + 1)
-    pts_out, _ = jax.lax.fori_loop(0, params.iters, body, (pts0, frozen0))
+    local0 = pts0 - r - org_Cf
+    frozen0 = ((local0[:, 0] < 0) | (local0[:, 1] < 0)
+               | (local0[:, 0] > Pc - win - 1) | (local0[:, 1] > Pc - win - 1)
+               | ~sampling.in_bounds(pts0, h, w, border=r + 1))
+    pts_out, _ = lax.fori_loop(0, params.iters, body, (pts0, frozen0))
     ok = good_g & sampling.in_bounds(pts_out, h, w, border=1.0) \
-        & sampling.in_bounds(pts_prev, img_prev.shape[0], img_prev.shape[1], border=1.0)
+        & sampling.in_bounds(pts_prev, img_prev.shape[0], img_prev.shape[1],
+                             border=1.0)
     return pts_out, ok
 
 
@@ -107,8 +257,6 @@ def track(pyr_prev: List[jnp.ndarray], pyr_cur: List[jnp.ndarray],
     Returns (pts_cur [N, 2], ok [N] bool, err [N] mean abs window residual).
     """
     levels = min(params.levels, len(pyr_prev))
-    # seed at the coarsest level: the flow prior scaled down; track the
-    # DISPLACEMENT (pts_init - pts_prev) across levels like OpenCV.
     flow = (pts_init - pts_prev) / (2.0 ** (levels - 1))
     pts_lvl = pts_prev / (2.0 ** (levels - 1))
     ok = valid
@@ -124,11 +272,16 @@ def track(pyr_prev: List[jnp.ndarray], pyr_cur: List[jnp.ndarray],
             pts_lvl = pts_prev / (2.0 ** (l - 1))
             flow = flow * 2.0
     pts_cur = pts_prev + flow
-    # final photometric error on the finest level
-    offs = jnp.asarray(_window_offsets(params.window))
-    T = sampling.gather_bilinear(pyr_prev[0], pts_prev[:, None, :] + offs[None])
-    I = sampling.gather_bilinear(pyr_cur[0], pts_cur[:, None, :] + offs[None])
-    err = jnp.mean(jnp.abs(T - I), axis=1)
+    # final photometric error on the finest level (window resample)
+    win = params.window
+    r = win // 2
+    tlp = jnp.floor(pts_prev).astype(jnp.int32) - r
+    patch_T, org_T = _extract_patches(pyr_prev[0], tlp, win + 2)
+    T = _sample_window(patch_T, pts_prev - r - org_T.astype(pts_prev.dtype), win)
+    tlc = jnp.floor(pts_cur).astype(jnp.int32) - r
+    patch_I, org_I = _extract_patches(pyr_cur[0], tlc, win + 2)
+    I = _sample_window(patch_I, pts_cur - r - org_I.astype(pts_cur.dtype), win)
+    err = jnp.mean(jnp.abs(T - I), axis=(1, 2))
     ok = ok & sampling.in_bounds(pts_cur, pyr_cur[0].shape[0], pyr_cur[0].shape[1],
                                  border=1.0)
     return pts_cur, ok, err

@@ -1,0 +1,206 @@
+"""Pallas TPU kernel for one Lucas-Kanade pyramid level.
+
+The XLA formulation of KLT (ops/lk.py) spends ~50 ms/level in vmapped
+dynamic-slice gathers (TPU lowers them to gather ops). This kernel removes
+them: one grid program per keypoint DMAs its template/gradient/search
+patches from HBM into VMEM once, then runs the 30-iteration loop with
+window sampling expressed as pure vector math — the KLT window moves
+rigidly, so the whole window shares ONE fractional offset and sampling is
+an aligned slab load + two power-of-2 dynamic rotates + a 4-corner scalar
+blend. Zero gathers.
+
+TPU layout constraints shape the design:
+- HBM async-copy slice origins must be tile-aligned, so every patch is
+  DMA'd as [rows, 256] with a 128-aligned x origin and 8-aligned row
+  origin; the window's local x then starts in [0, 128). Small coarse
+  levels are zero-padded by the wrapper to satisfy the minimum patch
+  footprint.
+- Per-keypoint scalars ride the scalar-prefetch channel (SMEM); outputs
+  are whole [N, 2]/[N, 1] SMEM arrays written row-by-row.
+
+The kernel is numerically identical to the XLA path (same template
+gradients, same freeze/convergence rules); tests check parity in
+interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 256          # patch width; HBM slice origins must be 128-aligned and
+                     # dynamic_rotate needs multiple-of-128 lanes, so patches
+                     # span two lane tiles and the window lands in the first.
+
+
+def _blend(sub: jnp.ndarray, fx, fy, win: int) -> jnp.ndarray:
+    """4-corner bilinear blend of a [win+1, win+1] slab with scalar fracs."""
+    return ((1 - fy) * (1 - fx) * sub[:win, :win]
+            + (1 - fy) * fx * sub[:win, 1:win + 1]
+            + fy * (1 - fx) * sub[1:win + 1, :win]
+            + fy * fx * sub[1:win + 1, 1:win + 1])
+
+
+def _dyn_window(patch_ref, by_i, bx_i, win: int, rows: int):
+    """[win+1, win+1] slab at dynamic (y, x) from a [rows, LANES] VMEM patch.
+
+    Mosaic constraints (measured on v5e): dynamic sublane vector loads must
+    be 8-aligned, and dynamic `pltpu.roll` is only CORRECT when the rolled
+    dimension is a power of two. So: load a 32-row slab at an 8-aligned
+    origin, rotate rows by the sub-8 remainder (32 = pow2), rotate lanes by
+    x (256 = pow2), then slice statically. Since by <= rows - win - 1, the
+    kept rows end at index 31 at most — never wrapping (needs rows >= 32,
+    rows % 8 == 0).
+    """
+    base = jnp.minimum((by_i // 8) * 8, rows - 32)
+    base = pl.multiple_of(base, 8)
+    slab = patch_ref[pl.ds(base, 32), :]               # [32, LANES]
+    slab = pltpu.roll(slab, -(by_i - base), axis=0)
+    rolled = pltpu.roll(slab[:win + 1, :], -bx_i, axis=1)
+    return rolled[:, :win + 1]
+
+
+def _make_kernel(win: int, pty: int, pcy: int, iters: int, eps: float,
+                 min_eig: float):
+    def kernel(tlp_ref, tlc_ref, localT_ref, local0_ref, frozen0_ref,
+               # ^ scalar prefetch (SMEM): [N,2] i32 x2, [N,2] f32 x2, [N,1] i32
+               prev_hbm, gx_hbm, gy_hbm, cur_hbm,      # ANY [H, W]
+               out_ref, flag_ref,                      # SMEM full [N,2],[N,1]
+               patchT, patchGx, patchGy, patchC, sems):
+        i = pl.program_id(0)
+        # origins are pre-aligned by the wrapper (x: 128, y: 8); the
+        # multiple_of hints let Mosaic prove tile alignment of the HBM slices
+        xt = pl.multiple_of(tlp_ref[i, 0], 128)
+        yt = pl.multiple_of(tlp_ref[i, 1], 8)
+        copies = []
+        for src, dst, k in ((prev_hbm, patchT, 0), (gx_hbm, patchGx, 1),
+                            (gy_hbm, patchGy, 2)):
+            c = pltpu.make_async_copy(src.at[pl.ds(yt, pty), pl.ds(xt, LANES)],
+                                      dst, sems.at[k])
+            c.start()
+            copies.append(c)
+        xc = pl.multiple_of(tlc_ref[i, 0], 128)
+        yc = pl.multiple_of(tlc_ref[i, 1], 8)
+        c4 = pltpu.make_async_copy(cur_hbm.at[pl.ds(yc, pcy), pl.ds(xc, LANES)],
+                                   patchC, sems.at[3])
+        c4.start()
+        for c in copies:
+            c.wait()
+
+        # --- template + gradient windows (fixed fractional offset)
+        ltx = localT_ref[i, 0]
+        lty = localT_ref[i, 1]
+        btx = jnp.clip(jnp.floor(ltx), 0, LANES - win - 1)
+        bty = jnp.clip(jnp.floor(lty), 0, pty - win - 1)
+        ftx = ltx - btx
+        fty = lty - bty
+        btx_i = btx.astype(jnp.int32)
+        bty_i = bty.astype(jnp.int32)
+        T = _blend(_dyn_window(patchT, bty_i, btx_i, win, pty), ftx, fty, win)
+        Gx = _blend(_dyn_window(patchGx, bty_i, btx_i, win, pty), ftx, fty, win)
+        Gy = _blend(_dyn_window(patchGy, bty_i, btx_i, win, pty), ftx, fty, win)
+
+        gxx = jnp.sum(Gx * Gx)
+        gxy = jnp.sum(Gx * Gy)
+        gyy = jnp.sum(Gy * Gy)
+        det = gxx * gyy - gxy * gxy
+        trace = gxx + gyy
+        me = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det, 0.0))) * 0.5
+        good_g = (me / (win * win)) > min_eig
+        inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+
+        c4.wait()
+
+        lim_x = jnp.float32(LANES - win - 1)
+        lim_y = jnp.float32(pcy - win - 1)
+
+        def body(_, carry):
+            lx, ly, frozen = carry
+            bx = jnp.clip(jnp.floor(lx), 0, lim_x)
+            by = jnp.clip(jnp.floor(ly), 0, lim_y)
+            fx = lx - bx
+            fy = ly - by
+            sub = _dyn_window(patchC, by.astype(jnp.int32),
+                              bx.astype(jnp.int32), win, pcy)
+            I = _blend(sub, fx, fy, win)
+            diff = T - I
+            bxs = jnp.sum(diff * Gx)
+            bys = jnp.sum(diff * Gy)
+            dx = (gyy * bxs - gxy * bys) * inv_det
+            dy = (gxx * bys - gxy * bxs) * inv_det
+            blocked = frozen | jnp.logical_not(good_g)
+            step_x = jnp.where(blocked, 0.0, dx)
+            step_y = jnp.where(blocked, 0.0, dy)
+            nlx = lx + step_x
+            nly = ly + step_y
+            converged = dx * dx + dy * dy < eps * eps
+            oob = (nlx < 0.0) | (nly < 0.0) | (nlx > lim_x) | (nly > lim_y)
+            return nlx, nly, frozen | converged | oob
+
+        lx0 = local0_ref[i, 0]
+        ly0 = local0_ref[i, 1]
+        frozen0 = frozen0_ref[i, 0] > 0
+        oob0 = (lx0 < 0.0) | (ly0 < 0.0) | (lx0 > lim_x) | (ly0 > lim_y)
+        lx, ly, _ = jax.lax.fori_loop(0, iters, body, (lx0, ly0, frozen0 | oob0))
+        out_ref[i, 0] = lx
+        out_ref[i, 1] = ly
+        flag_ref[i, 0] = good_g.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("win", "pty", "pcy", "iters",
+                                             "eps", "min_eig", "interpret"))
+def lk_level_pallas(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
+                    img_cur: jnp.ndarray,
+                    tl_prev: jnp.ndarray, tl_cur: jnp.ndarray,
+                    localT: jnp.ndarray, local0: jnp.ndarray,
+                    frozen0: jnp.ndarray,
+                    win: int, pty: int, pcy: int, iters: int,
+                    eps: float, min_eig: float,
+                    interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the KLT level kernel. All patch-coordinate inputs precomputed.
+
+    tl_prev/tl_cur: [N, 2] int32 clamped patch origins (x, y); patches span
+      [y : y+pty/pcy, x : x+128].
+    localT/local0:  [N, 2] f32 window top-left inside the patches.
+    frozen0:        [N, 1] int32 pre-frozen mask.
+    Returns (local_out [N, 2] f32, good_flag [N, 1] int32).
+    """
+    n = tl_prev.shape[0]
+    assert pty % 8 == 0 and pcy % 8 == 0, "patch rows must be 8-aligned"
+    kernel = _make_kernel(win, pty, pcy, iters, eps, min_eig)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),   # prev
+            pl.BlockSpec(memory_space=pl.ANY),   # gx
+            pl.BlockSpec(memory_space=pl.ANY),   # gy
+            pl.BlockSpec(memory_space=pl.ANY),   # cur
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((pty, LANES), jnp.float32),
+            pltpu.VMEM((pty, LANES), jnp.float32),
+            pltpu.VMEM((pty, LANES), jnp.float32),
+            pltpu.VMEM((pcy, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    out, flag = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, 2), jnp.float32),
+                   jax.ShapeDtypeStruct((n, 1), jnp.int32)],
+        interpret=interpret,
+    )(tl_prev, tl_cur, localT, local0, frozen0, img_prev, gx, gy, img_cur)
+    return out, flag

@@ -1,0 +1,53 @@
+"""Pallas LK kernel parity vs the XLA path (interpreter mode on CPU)."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+from ssvio_tpu.ops import fast, lk, pyramid
+
+
+def _scene(rng):
+    img = rng.uniform(0, 255, (192, 256)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (7, 7), 1.5)
+    M = np.float32([[1, 0, 3.2], [0, 1, -2.1]])
+    img2 = cv2.warpAffine(img, M, (256, 192))
+    xy, _, v = fast.detect_grid(jnp.asarray(img), max_kps=48, cell=16)
+    pts = np.asarray(xy)[np.asarray(v)]
+    m = (pts[:, 0] > 30) & (pts[:, 0] < 226) & (pts[:, 1] > 30) & (pts[:, 1] < 162)
+    return img, img2, pts[m][:24]
+
+
+def test_pallas_level_matches_xla(rng):
+    img, img2, pts = _scene(rng)
+    p = jnp.asarray(pts)
+    gx, gy = pyramid.sobel_gradients(jnp.asarray(img))
+    params_x = lk.LKParams(backend="xla")
+    params_p = lk.LKParams(backend="pallas_interpret")
+    out_x, ok_x = lk._track_level(jnp.asarray(img), jnp.asarray(img2),
+                                  gx, gy, p, p, params_x)
+    out_p, ok_p = lk._track_level(jnp.asarray(img), jnp.asarray(img2),
+                                  gx, gy, p, p, params_p)
+    np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
+    both = np.asarray(ok_x)
+    np.testing.assert_allclose(np.asarray(out_p)[both], np.asarray(out_x)[both],
+                               atol=1e-3)
+
+
+def test_pallas_full_track_matches_xla(rng):
+    img, img2, pts = _scene(rng)
+    pyr1 = pyramid.build_lk_pyramid(jnp.asarray(img), 3)
+    pyr2 = pyramid.build_lk_pyramid(jnp.asarray(img2), 3)
+    p = jnp.asarray(pts)
+    valid = jnp.ones(len(pts), bool)
+    out_x, ok_x, err_x = lk.track(pyr1, pyr2, p, p, valid,
+                                  lk.LKParams(backend="xla"))
+    out_p, ok_p, err_p = lk.track(pyr1, pyr2, p, p, valid,
+                                  lk.LKParams(backend="pallas_interpret"))
+    both = np.asarray(ok_x) & np.asarray(ok_p)
+    assert both.mean() > 0.8
+    np.testing.assert_allclose(np.asarray(out_p)[both], np.asarray(out_x)[both],
+                               atol=1e-2)
+    # and both recover the true shift
+    flow = np.asarray(out_p)[both] - pts[both]
+    np.testing.assert_allclose(np.median(flow, axis=0), [3.2, -2.1], atol=0.2)
