@@ -38,10 +38,25 @@ INITING, TRACKING_GOOD, TRACKING_BAD, LOST = 0, 1, 2, 3
 
 
 class FeatState(NamedTuple):
-    """Current-frame feature set, fixed capacity N."""
+    """Current-frame feature set, fixed capacity N.
+
+    `lm_gid` guards against landmark-slot recycling: a feature's link is
+    only live while MapState.lm_gid[lm_slot] still equals it. Without the
+    generation check, a GC'd slot reused by a new landmark silently
+    re-targets every stale feature pointing at it — the new observations
+    then poison the BA observation table (measured: catastrophic window
+    rotations on circular trajectories)."""
     xy: jnp.ndarray        # [N, 2]
     lm_slot: jnp.ndarray   # [N] int32 landmark slot in MapState (-1 none)
+    lm_gid: jnp.ndarray    # [N] int32 landmark generation id (-1 none)
     valid: jnp.ndarray     # [N] bool
+
+
+def empty_feat_state(n: int) -> FeatState:
+    return FeatState(xy=jnp.zeros((n, 2), jnp.float32),
+                     lm_slot=jnp.full((n,), -1, jnp.int32),
+                     lm_gid=jnp.full((n,), -1, jnp.int32),
+                     valid=jnp.zeros((n,), bool))
 
 
 class TrackOut(NamedTuple):
@@ -86,11 +101,12 @@ class Frontend:
 
     # ------------------------------------------------------------------
     def _track_step(self, pyr_last, pyr_cur, feat: FeatState,
-                    T_last, rel_motion, lm_pos, lm_valid) -> TrackOut:
+                    T_last, rel_motion, lm_pos, lm_valid, lm_gid) -> TrackOut:
         """LK vs last frame (projection-seeded) + pose-only LM + gating."""
         T_guess = se3.compose(rel_motion, T_last)
         lm_idx = jnp.clip(feat.lm_slot, 0, lm_pos.shape[0] - 1)
-        has_lm = feat.valid & (feat.lm_slot >= 0) & lm_valid[lm_idx]
+        has_lm = (feat.valid & (feat.lm_slot >= 0) & lm_valid[lm_idx]
+                  & (lm_gid[lm_idx] == feat.lm_gid))
         p_w = lm_pos[lm_idx]
         seed = camera.world2pixel(self.rig.intr_left, T_guess, p_w)
         in_img = sampling.in_bounds(seed, self.rh, self.rw, border=8.0)
@@ -125,7 +141,7 @@ class Frontend:
         # their mappoints as outliers, frontend.cpp:283-294 — our GC happens
         # at the map level when observations disappear)
         feat_out = FeatState(xy=new_xy, lm_slot=feat.lm_slot,
-                             valid=tracked & res.inlier)
+                             lm_gid=feat.lm_gid, valid=tracked & res.inlier)
         rel = se3.compose(res.T_cw, se3.inverse(T_last))
         return TrackOut(feat_out, res.T_cw, rel, res.n_inliers)
 
@@ -153,6 +169,7 @@ class Frontend:
         order = jnp.argsort(~feat.valid, stable=True)     # valid first
         ex_xy = feat.xy[order]
         ex_lm = feat.lm_slot[order]
+        ex_gid = feat.lm_gid[order]
         ex_valid = feat.valid[order]
         n_exist = jnp.sum(ex_valid.astype(jnp.int32))
         slot_idx = jnp.arange(N, dtype=jnp.int32)
@@ -163,15 +180,19 @@ class Frontend:
         new_ok = take_new & det_valid[new_idx]
         xy = jnp.where(new_ok[:, None], det_xy[new_idx], ex_xy)
         lm_slot = jnp.where(new_ok, -1, jnp.where(ex_valid, ex_lm, -1))
+        lm_gid = jnp.where(new_ok, -1, jnp.where(ex_valid, ex_gid, -1))
         valid = ex_valid | new_ok
-        return FeatState(xy=xy, lm_slot=lm_slot, valid=valid), new_ok
+        return FeatState(xy=xy, lm_slot=lm_slot, lm_gid=lm_gid,
+                         valid=valid), new_ok
 
     # ------------------------------------------------------------------
-    def _stereo_match(self, pyr_l, pyr_r, feat: FeatState, T_cw, lm_pos):
+    def _stereo_match(self, pyr_l, pyr_r, feat: FeatState, T_cw, lm_pos,
+                      lm_gid):
         """Left->right LK, projection-seeded where a landmark exists
         (reference FindFeaturesInRight, frontend.cpp:346-428)."""
         lm_idx = jnp.clip(feat.lm_slot, 0, lm_pos.shape[0] - 1)
-        has_lm = feat.valid & (feat.lm_slot >= 0)
+        has_lm = (feat.valid & (feat.lm_slot >= 0)
+                  & (lm_gid[lm_idx] == feat.lm_gid))
         p_cl = se3.transform(T_cw, lm_pos[lm_idx])
         p_cr = p_cl + jnp.stack([-jnp.broadcast_to(self._baseline, p_cl[..., 0].shape),
                                  jnp.zeros_like(p_cl[..., 0]),
@@ -205,7 +226,16 @@ class Frontend:
         Returns (feat', map', kf_slot, kf_gid, n_landmarks_created).
         """
         feat2, is_new = self._detect_merge(pyr_l[0], feat)
-        xy_r, has_r = self._stereo_match(pyr_l, pyr_r, feat2, T_cw, m.lm_pos)
+        # generation check: a stale slot link (GC'd + recycled landmark)
+        # must not register observations of the new occupant
+        lm_idx2 = jnp.clip(feat2.lm_slot, 0, m.lm_pos.shape[0] - 1)
+        link_live = (feat2.lm_slot >= 0) & (m.lm_gid[lm_idx2] == feat2.lm_gid) \
+            & m.lm_valid[lm_idx2]
+        feat2 = feat2._replace(
+            lm_slot=jnp.where(link_live, feat2.lm_slot, -1),
+            lm_gid=jnp.where(link_live, feat2.lm_gid, -1))
+        xy_r, has_r = self._stereo_match(pyr_l, pyr_r, feat2, T_cw, m.lm_pos,
+                                         m.lm_gid)
 
         # triangulate NEW features with a right match in the current camera
         # frame, then lift to world through T_cw^-1
@@ -221,8 +251,10 @@ class Frontend:
             m, T_cw, feat2.lm_slot, feat2.xy, xy_r, has_r, feat2.valid)
         m3, lm_slots = mapmod.add_landmarks(
             m2, kf_slot, kf_gid, p_w, feat2.xy, xy_r, has_r, new_lm)
+        new_gid = m3.lm_gid[jnp.clip(lm_slots, 0, m3.lm_gid.shape[0] - 1)]
         feat3 = FeatState(xy=feat2.xy,
                           lm_slot=jnp.where(lm_slots >= 0, lm_slots, feat2.lm_slot),
+                          lm_gid=jnp.where(lm_slots >= 0, new_gid, feat2.lm_gid),
                           valid=feat2.valid & ((feat2.lm_slot >= 0) | (lm_slots >= 0)))
         n_created = jnp.sum((lm_slots >= 0).astype(jnp.int32))
         return feat3, m3, kf_slot, kf_gid, n_created

@@ -104,17 +104,20 @@ def insert_keyframe(m: MapState, T_cw: jnp.ndarray,
     kf_gid_arr = m.kf_gid.at[slot].set(kf_gid)
     kf_valid = m.kf_valid.at[slot].set(True)
 
-    # register observations: scatter feature uv into obs[lm_slot, slot, eye]
-    n = feat_lm_slot.shape[0]
+    # register observations: scatter feature uv into obs[lm_slot, slot, eye].
+    # Features WITHOUT a landmark are routed to row M (out of bounds):
+    # JAX drops OOB scatters entirely. Routing them to row 0 instead would
+    # race real observations of landmark 0 under duplicate-index scatter
+    # (nondeterministic winner) — measured as million-chi2 poison edges
+    # that capsized the whole local BA.
+    M = m.lm_valid.shape[0]
     has_lm = feat_valid & (feat_lm_slot >= 0)
-    safe_slot = jnp.where(has_lm, feat_lm_slot, 0)
-    obs_uv = m.obs_uv.at[safe_slot, slot, 0].set(
-        jnp.where(has_lm[:, None], feat_uv_l, m.obs_uv[safe_slot, slot, 0]))
-    obs_uv = obs_uv.at[safe_slot, slot, 1].set(
-        jnp.where((has_lm & feat_has_r)[:, None], feat_uv_r,
-                  obs_uv[safe_slot, slot, 1]))
-    obs_valid = obs_valid.at[safe_slot, slot, 0].max(has_lm)
-    obs_valid = obs_valid.at[safe_slot, slot, 1].max(has_lm & feat_has_r)
+    safe_slot = jnp.where(has_lm, feat_lm_slot, M)
+    safe_r = jnp.where(has_lm & feat_has_r, feat_lm_slot, M)
+    obs_uv = m.obs_uv.at[safe_slot, slot, 0].set(feat_uv_l, mode="drop")
+    obs_uv = obs_uv.at[safe_r, slot, 1].set(feat_uv_r, mode="drop")
+    obs_valid = obs_valid.at[safe_slot, slot, 0].set(True, mode="drop")
+    obs_valid = obs_valid.at[safe_r, slot, 1].set(True, mode="drop")
 
     # GC: landmarks with zero active observations leave the active map
     # (reference RemoveOldActiveMapPoints, map.cpp:142-160)
@@ -146,19 +149,19 @@ def add_landmarks(m: MapState, kf_slot: jnp.ndarray, kf_gid: jnp.ndarray,
     can = new_valid & (want_rank < n_free) & (want_rank < M)
     slot = jnp.where(can, free_order[jnp.clip(want_rank, 0, M - 1)], -1)
 
-    safe = jnp.where(can, slot, 0)
+    # unallocated entries go to row M: OOB scatters are dropped (see
+    # insert_keyframe — routing them to row 0 races real row-0 writes)
+    safe = jnp.where(can, slot, M)
+    safe_r = jnp.where(can & has_r, slot, M)
     gids = m.next_lm_gid + want_rank
-    lm_pos = m.lm_pos.at[safe].set(jnp.where(can[:, None], p_w, m.lm_pos[safe]))
-    lm_valid = m.lm_valid.at[safe].max(can)
-    lm_gid = m.lm_gid.at[safe].set(jnp.where(can, gids, m.lm_gid[safe]))
-    lm_first = m.lm_first_kf.at[safe].set(
-        jnp.where(can, kf_gid, m.lm_first_kf[safe]))
-    obs_uv = m.obs_uv.at[safe, kf_slot, 0].set(
-        jnp.where(can[:, None], uv_l, m.obs_uv[safe, kf_slot, 0]))
-    obs_uv = obs_uv.at[safe, kf_slot, 1].set(
-        jnp.where((can & has_r)[:, None], uv_r, obs_uv[safe, kf_slot, 1]))
-    obs_valid = m.obs_valid.at[safe, kf_slot, 0].max(can)
-    obs_valid = obs_valid.at[safe, kf_slot, 1].max(can & has_r)
+    lm_pos = m.lm_pos.at[safe].set(p_w, mode="drop")
+    lm_valid = m.lm_valid.at[safe].set(True, mode="drop")
+    lm_gid = m.lm_gid.at[safe].set(gids, mode="drop")
+    lm_first = m.lm_first_kf.at[safe].set(kf_gid, mode="drop")
+    obs_uv = m.obs_uv.at[safe, kf_slot, 0].set(uv_l, mode="drop")
+    obs_uv = obs_uv.at[safe_r, kf_slot, 1].set(uv_r, mode="drop")
+    obs_valid = m.obs_valid.at[safe, kf_slot, 0].set(True, mode="drop")
+    obs_valid = obs_valid.at[safe_r, kf_slot, 1].set(True, mode="drop")
     n_new = jnp.sum(can.astype(jnp.int32))
     return m._replace(lm_pos=lm_pos, lm_valid=lm_valid, lm_gid=lm_gid,
                       lm_first_kf=lm_first, obs_uv=obs_uv, obs_valid=obs_valid,
