@@ -73,6 +73,16 @@ class Settings:
     loop_db_min_size: int = 50
     pyramid_level: int = 8
     vocab_path: Optional[str] = None    # DBOW2.VOC.Path
+    # TPU-native loop-closing capacity/vocabulary knobs (the reference uses
+    # a pre-trained ORBvoc.txt + unbounded containers; we self-train and
+    # pre-allocate — see ssvio_tpu/loopclosing.py)
+    max_keyframes_db: int = 1024        # keyframe database capacity
+    loop_desc_scales: int = 3           # descriptor pyramid scales per KF
+    vocab_k: int = 10                   # vocabulary branching factor
+    vocab_levels: int = 3               # vocabulary depth (k^L words)
+    loop_min_age: int = 20              # candidate must be >= this many KFs old
+    # (reference loopclosing.cpp:84-90)
+    loop_min_gap: int = 5               # KFs between closures (:657-669)
 
     # --- output ---
     trajectory_save_path: Optional[str] = None

@@ -1,0 +1,354 @@
+"""Loop closing: place recognition, relocalization, map correction, PGO.
+
+Capability parity with the reference LoopClosing
+(reference src/ssvio/loopclosing.cpp): per-keyframe descriptor extraction
+over pyramid scales (ProcessNewKeyframe :596-634), BoW database scoring
+with age + score gates (DetectLoop :72-103), brute-force Hamming matching
+with `d <= max(2*min_d, 30)` and per-feature dedupe (MatchFeatures
+:105-145), PnP-RANSAC + pose-only refinement with >=10-inlier gates and a
+(1, 15) correction-magnitude acceptance window (ComputeCorrectPose
+:147-243), rigid re-anchoring of the active window (
+CorrectActivateKeyframeAndMappoint :378-456), and global pose-graph
+optimization with landmark re-anchoring (PoseGraphOptimization :458-594).
+Gating parity: database warm-up >= Loop.Closig.Keyframe.Database.Min.Size
+(:48), candidates >= 20 keyframes old (:84-90), >= 5 keyframes between
+closures (InsertNewKeyFrame :657-669).
+
+TPU-first design:
+- The keyframe database is a set of fixed-capacity DEVICE arrays (BoW
+  vectors, multi-scale descriptors, keypoints, landmark snapshots); scoring
+  the whole database is one batched pass, matching is one [F, F]
+  XOR-popcount matrix reduced over scale pairs.
+- The reference's DBoW2 vocabulary file is replaced by self-training: the
+  warm-up keyframes (before the database may fire anyway) train the
+  k-majority tree (ops/bow.py), then all stored keyframes are back-filled.
+- The reference's backend pause/resume handshake (LoopCorrect :361-372)
+  disappears: the pipeline is synchronous dataflow, corrections are applied
+  between frames (SURVEY §7.3).
+- The pose graph lives on the host (unbounded), optimized on device with
+  ops/pgo in one jit; keyframe-local landmark snapshots are re-anchored
+  with the camera-frame-invariance rule p' = T_new_wc * (T_old_cw * p).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssvio_tpu import map as mapmod
+from ssvio_tpu.config import Settings
+from ssvio_tpu.ops import bow, orb, pgo, pnp, pyramid, sampling, se3
+
+
+class LoopEvent(NamedTuple):
+    cur_gid: int
+    loop_gid: int
+    score: float
+    n_matches: int
+    n_inliers: int
+    error: float
+    corrected: bool
+
+
+def _round_pow2(n: int, lo: int = 64) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+class LoopClosing:
+    """Host driver owning the device-resident keyframe database."""
+
+    def __init__(self, settings: Settings, fx: float, fy: float,
+                 cx: float, cy: float):
+        s = settings
+        self.s = s
+        self._fx, self._fy, self._cx, self._cy = fx, fy, cx, cy
+        self.cap = s.max_keyframes_db
+        self.F = s.max_features
+        self.S = s.loop_desc_scales
+        FS = self.F * self.S
+
+        self.bow_db = jnp.zeros((self.cap, s.vocab_k ** s.vocab_levels),
+                                jnp.float32)
+        self.desc_db = jnp.zeros((self.cap, FS, orb.DESC_WORDS), jnp.uint32)
+        self.desc_valid = jnp.zeros((self.cap, FS), bool)
+        self.kp_xy = jnp.zeros((self.cap, self.F, 2), jnp.float32)
+        self.lm_pos = jnp.zeros((self.cap, self.F, 3), jnp.float32)
+        self.lm_has = jnp.zeros((self.cap, self.F), bool)
+        self.db_gid = np.full((self.cap,), -1, np.int64)  # host mirror
+        self.row_of_gid = {}
+        self.n = 0
+
+        self.vocab: Optional[bow.Vocabulary] = None
+        self.last_closed_gid = -(10 ** 9)
+        self.loop_edges: List[tuple] = []   # (gid_i, gid_j, Z [3,4] np)
+        self.events: List[LoopEvent] = []
+        self._rng_key = jax.random.PRNGKey(17)
+
+        self._describe = jax.jit(self._describe_impl)
+        self._store = jax.jit(self._store_impl, donate_argnums=(0, 1, 2, 3, 4, 5))
+        self._store_bow = jax.jit(lambda db, row, v: db.at[row].set(v),
+                                  donate_argnums=(0,))
+        self._match = jax.jit(self._match_impl)
+        self._correct_active = jax.jit(self._correct_active_impl)
+
+    # ------------------------------------------------------------------
+    # descriptor extraction (reference ProcessNewKeyframe :596-634:
+    # keypoints replicated across pyramid octaves + per-octave descriptors)
+    # ------------------------------------------------------------------
+    def _describe_impl(self, pyr: List[jnp.ndarray], xy: jnp.ndarray,
+                       valid: jnp.ndarray):
+        descs, vals = [], []
+        for l in range(self.S):
+            img = pyramid.blur(pyr[l], sigma=2.0, radius=3)  # pre-descriptor
+            # blur (reference orbextractor.cpp:962)
+            xy_l = xy / (2.0 ** l)
+            h, w = img.shape
+            inb = sampling.in_bounds(xy_l, h, w, border=22.0)
+            ang = orb.ic_angle(img, xy_l)
+            d = orb.compute_descriptors(img, xy_l, ang)
+            descs.append(d)
+            vals.append(valid & inb)
+        return jnp.concatenate(descs, 0), jnp.concatenate(vals, 0)
+
+    @staticmethod
+    def _store_impl(desc_db, desc_valid, kp_xy, lm_pos, lm_has, bow_db,
+                    row, desc, dval, xy, lmp, lmh):
+        return (desc_db.at[row].set(desc), desc_valid.at[row].set(dval),
+                kp_xy.at[row].set(xy), lm_pos.at[row].set(lmp),
+                lm_has.at[row].set(lmh), bow_db)
+
+    # ------------------------------------------------------------------
+    # matching (reference MatchFeatures :105-145)
+    # ------------------------------------------------------------------
+    def _match_impl(self, desc_cur, val_cur, desc_loop, val_loop):
+        """Multi-scale BF-Hamming: distance matrix over [F*S] rows reduced
+        to per-feature [F, F], then best-match + mutual + threshold gates.
+        Returns (best_j [F], dist [F], ok [F])."""
+        F, S = self.F, self.S
+        d = orb.hamming_distance(desc_cur[:, None, :], desc_loop[None, :, :])
+        big = jnp.int32(1 << 20)
+        d = jnp.where(val_cur[:, None] & val_loop[None, :], d, big)
+        # [S*F, S*F] -> [F, F]: min over both scale axes
+        d = d.reshape(S, F, S, F).min(axis=(0, 2))
+        best_j = jnp.argmin(d, axis=1).astype(jnp.int32)
+        best = jnp.min(d, axis=1)
+        min_d = jnp.min(best)
+        thresh = jnp.maximum(2 * min_d, 30)
+        back = jnp.argmin(d, axis=0).astype(jnp.int32)
+        mutual = back[best_j] == jnp.arange(F, dtype=jnp.int32)
+        ok = (best <= thresh) & (best < big) & mutual
+        return best_j, best.astype(jnp.int32), ok
+
+    # ------------------------------------------------------------------
+    # active-map rigid correction (reference
+    # CorrectActivateKeyframeAndMappoint :378-456): every active KF pose is
+    # right-multiplied by C = T_cur_cw^-1 * T_corrected, which moves the
+    # whole active map rigidly; landmarks transform as p' = C^-1 p.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _correct_active_impl(kf_pose, lm_pos, lm_valid, C):
+        kf_new = jax.vmap(lambda T: se3.compose(T, C))(kf_pose)
+        Cinv = se3.inverse(C)
+        lm_new = jnp.where(lm_valid[:, None],
+                           se3.transform(Cinv, lm_pos), lm_pos)
+        return kf_new, lm_new
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, system, kf_gid: int, pyr_l, feat,
+                         m: mapmod.MapState, T_cw) -> Optional[LoopEvent]:
+        """Ingest a keyframe; maybe detect + correct a loop.
+
+        `system` provides host keyframe records (poses, odometry edges) and
+        receives pose updates.
+        """
+        s = self.s
+        if self.n >= self.cap:
+            return None
+        row = self.n
+
+        # landmark snapshot for this KF's features (world frame)
+        lm_idx = jnp.clip(feat.lm_slot, 0, m.lm_pos.shape[0] - 1)
+        lm_has = feat.valid & (feat.lm_slot >= 0) & m.lm_valid[lm_idx]
+        lm_p = m.lm_pos[lm_idx]
+
+        desc, dval = self._describe(pyr_l, feat.xy, feat.valid)
+        (self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
+         self.lm_has, self.bow_db) = self._store(
+            self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
+            self.lm_has, self.bow_db, row, desc, dval, feat.xy, lm_p, lm_has)
+        self.db_gid[row] = kf_gid
+        self.row_of_gid[kf_gid] = row
+        self.n = row + 1
+
+        # vocabulary self-training at warm-up (DB can't fire before
+        # db_min_size anyway, reference loopclosing.cpp:48)
+        if self.vocab is None:
+            if self.n >= s.loop_db_min_size:
+                self._train_vocab()
+            return None
+
+        v = bow.transform(self.vocab, desc, dval, s.vocab_levels)
+        self.bow_db = self._store_bow(self.bow_db, row, v)
+
+        # ---- gates (DetectLoop :72-103 + InsertNewKeyFrame :657-669)
+        if self.n <= s.loop_db_min_size:
+            return None
+        if kf_gid - self.last_closed_gid < s.loop_min_gap:
+            return None
+        age_ok = jnp.asarray((self.db_gid[:self.cap] >= 0)
+                             & (self.db_gid[:self.cap] <= kf_gid - s.loop_min_age))
+        scores = bow.score_l1_database(v, self.bow_db, age_ok)
+        best_row = int(jnp.argmax(scores))
+        best_score = float(scores[best_row])
+        if best_score < s.loop_threshold_higher:
+            return None
+        loop_gid = int(self.db_gid[best_row])
+
+        # ---- match (MatchFeatures :105-145)
+        best_j, dist, ok = self._match(desc, dval,
+                                       self.desc_db[best_row],
+                                       self.desc_valid[best_row])
+        # keep matches whose loop feature carries a landmark
+        # (ComputeCorrectPose :149-174)
+        ok = np.asarray(ok) & np.asarray(self.lm_has[best_row])[np.asarray(best_j)]
+        n_matches = int(ok.sum())
+        if n_matches < 10:
+            return self._log(kf_gid, loop_gid, best_score, n_matches, 0, 0.0,
+                             False)
+
+        # ---- PnP-RANSAC + pose-only refine (:196-215, 245-351)
+        p_w = self.lm_pos[best_row][jnp.asarray(best_j)]
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        res = pnp.pnp_ransac(p_w, feat.xy, jnp.asarray(ok),
+                             self._fx, self._fy, self._cx, self._cy, sub,
+                             n_hypotheses=128, reproj_threshold=5.991,
+                             min_inliers=10)
+        n_inliers = int(res.n_inliers)
+        if not bool(res.ok):
+            return self._log(kf_gid, loop_gid, best_score, n_matches,
+                             n_inliers, 0.0, False)
+        T_corr = res.T_cw
+
+        # acceptance window (1, 15) on the correction magnitude (:224-234)
+        err = float(jnp.linalg.norm(se3.log(
+            se3.compose(T_cw, se3.inverse(T_corr)))))
+        # loop edge is recorded regardless (reference sets
+        # relative_pose_to_loop_KF_ unconditionally, :238-241)
+        T_loop = jnp.asarray(system.pose_of_gid(loop_gid))
+        Z_loop = np.asarray(se3.compose(T_corr, se3.inverse(T_loop)))
+        self.loop_edges.append((loop_gid, kf_gid, Z_loop))
+        self.last_closed_gid = kf_gid
+
+        if not (1.0 < err < 15.0):
+            return self._log(kf_gid, loop_gid, best_score, n_matches,
+                             n_inliers, err, False)
+
+        # ---- correction: rigid active-map re-anchor + PGO
+        C = se3.compose(se3.inverse(T_cw), T_corr)
+        kf_new, lm_new = self._correct_active(m.kf_pose, m.lm_pos,
+                                              m.lm_valid, C)
+        # database landmark snapshots of active KFs ride the same rigid move
+        Cinv = se3.inverse(C)
+        for g in system.active_gids():
+            r = self.row_of_gid.get(g)
+            if r is not None:
+                self.lm_pos = self.lm_pos.at[r].set(
+                    se3.transform(Cinv, self.lm_pos[r]))
+        system.apply_loop_correction(
+            self, m._replace(kf_pose=kf_new, lm_pos=lm_new), T_corr)
+        self._pose_graph_optimize(system)
+        return self._log(kf_gid, loop_gid, best_score, n_matches, n_inliers,
+                         err, True)
+
+    # ------------------------------------------------------------------
+    def _log(self, *args) -> LoopEvent:
+        ev = LoopEvent(*args)
+        self.events.append(ev)
+        return ev
+
+    # ------------------------------------------------------------------
+    def _train_vocab(self):
+        s = self.s
+        docs = []
+        dv = np.asarray(self.desc_valid[:self.n])
+        dd = np.asarray(self.desc_db[:self.n])
+        for i in range(self.n):
+            docs.append(dd[i][dv[i]])
+        self.vocab = bow.train(docs, k=s.vocab_k, levels=s.vocab_levels,
+                               seed=7)
+        # back-fill BoW vectors for all stored keyframes
+        for i in range(self.n):
+            v = bow.transform(self.vocab, self.desc_db[i], self.desc_valid[i],
+                              s.vocab_levels)
+            self.bow_db = self._store_bow(self.bow_db, i, v)
+
+    # ------------------------------------------------------------------
+    # pose-graph optimization over the host keyframe records
+    # (reference PoseGraphOptimization :458-594)
+    # ------------------------------------------------------------------
+    def _pose_graph_optimize(self, system):
+        kfs = system.keyframes
+        n = len(kfs)
+        P = _round_pow2(n)
+        poses = np.zeros((P, 3, 4), np.float32)
+        poses[:, :, :3] = np.eye(3)
+        gid_to_idx = {}
+        for i, rec in enumerate(kfs):
+            poses[i] = rec["T_cw"]
+            gid_to_idx[rec["gid"]] = i
+        pose_valid = np.zeros(P, bool)
+        pose_valid[:n] = True
+
+        # fixed: first KF + active-window KFs + all loop KFs (:488-500)
+        fixed = np.zeros(P, bool)
+        fixed[0] = True
+        for g in system.active_gids():
+            if g in gid_to_idx:
+                fixed[gid_to_idx[g]] = True
+        for (gi, gj, _) in self.loop_edges:
+            if gi in gid_to_idx:
+                fixed[gid_to_idx[gi]] = True
+
+        edges = [(gid_to_idx[a], gid_to_idx[b], Z)
+                 for (a, b, Z) in system.kf_rel_edges
+                 if a in gid_to_idx and b in gid_to_idx]
+        edges += [(gid_to_idx[a], gid_to_idx[b], Z)
+                  for (a, b, Z) in self.loop_edges
+                  if a in gid_to_idx and b in gid_to_idx]
+        E = _round_pow2(len(edges))
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        eZ = np.zeros((E, 3, 4), np.float32)
+        eZ[:, :, :3] = np.eye(3)
+        ev = np.zeros(E, bool)
+        for q, (a, b, Z) in enumerate(edges):
+            # edge residual log(Z^-1 X_i X_j^-1) with Z = T_i * T_j^-1
+            ei[q], ej[q], eZ[q], ev[q] = a, b, Z, True
+        prob = pgo.PGOProblem(
+            poses=jnp.asarray(poses), pose_valid=jnp.asarray(pose_valid),
+            pose_fixed=jnp.asarray(fixed), edge_i=jnp.asarray(ei),
+            edge_j=jnp.asarray(ej), edge_Z=jnp.asarray(eZ),
+            edge_valid=jnp.asarray(ev),
+            edge_weight=jnp.ones((E,), jnp.float32))
+        opt = np.asarray(pgo.optimize(prob, iters=20))
+
+        # write back + re-anchor each stored KF's landmark snapshots:
+        # p_cam = T_old_cw p is invariant -> p' = T_new_wc p_cam (:564-588)
+        for i, rec in enumerate(kfs):
+            T_old = rec["T_cw"]
+            T_new = opt[i]
+            rec["T_cw"] = T_new
+            row = self.row_of_gid.get(rec["gid"])
+            if row is not None and not np.allclose(T_old, T_new, atol=1e-7):
+                T_delta = np.asarray(se3.compose(
+                    se3.inverse(jnp.asarray(T_new)), jnp.asarray(T_old)))
+                self.lm_pos = self.lm_pos.at[row].set(
+                    se3.transform(jnp.asarray(T_delta), self.lm_pos[row]))
+        system.on_pose_graph_updated()

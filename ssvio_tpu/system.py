@@ -56,10 +56,7 @@ class System:
         self.status = fe.INITING
         self.T_cw = se3.identity()
         self.rel_motion = se3.identity()
-        self.feat = fe.FeatState(
-            xy=jnp.zeros((settings.max_features, 2), jnp.float32),
-            lm_slot=jnp.full((settings.max_features,), -1, jnp.int32),
-            valid=jnp.zeros((settings.max_features,), bool))
+        self.feat = fe.empty_feat_state(settings.max_features)
         self.last_pyr = None
         self.frame_id = -1
 
@@ -67,8 +64,14 @@ class System:
         self.trajectory = []        # (timestamp, frame_id, T_wc [3,4] np)
         self.keyframes = []         # dicts: gid, frame_id, timestamp, T_cw (np)
         self.kf_rel_edges = []      # (gid_prev, gid, Z [3,4]) odometry edges
-        self.loopclosing = None     # attached lazily (module import cycle)
         self.stats = {"n_keyframes": 0, "n_loops": 0, "track_ms": []}
+        if self.enable_loop:
+            from ssvio_tpu.loopclosing import LoopClosing
+            self.loopclosing = LoopClosing(
+                settings, self.frontend._fx, self.frontend._fy,
+                self.frontend._cx, self.frontend._cy)
+        else:
+            self.loopclosing = None
 
     # ------------------------------------------------------------------
     def _pad(self, img: np.ndarray) -> jnp.ndarray:
@@ -96,7 +99,7 @@ class System:
         elif self.status in (fe.TRACKING_GOOD, fe.TRACKING_BAD):
             out = self.frontend.track_step(
                 self.last_pyr, pyr_l, self.feat, self.T_cw, self.rel_motion,
-                self.map.lm_pos, self.map.lm_valid)
+                self.map.lm_pos, self.map.lm_valid, self.map.lm_gid)
             n_inl = int(out.n_inliers)
             self.feat = out.feat
             self.T_cw = out.T_cw
@@ -122,10 +125,7 @@ class System:
     # ------------------------------------------------------------------
     def _try_init(self, pyr_l, pyr_r, timestamp):
         """Stereo init (reference SteroInit, frontend.cpp:430-446)."""
-        empty = fe.FeatState(
-            xy=jnp.zeros((self.s.max_features, 2), jnp.float32),
-            lm_slot=jnp.full((self.s.max_features,), -1, jnp.int32),
-            valid=jnp.zeros((self.s.max_features,), bool))
+        empty = fe.empty_feat_state(self.s.max_features)
         feat, m, kf_slot, kf_gid, n_created = self.frontend.keyframe_step(
             pyr_l, pyr_r, empty, se3.identity(), self.map)
         if int(n_created) >= self.s.min_init_landmarks:
@@ -135,6 +135,9 @@ class System:
             self.rel_motion = se3.identity()
             self.status = fe.TRACKING_GOOD
             self._record_keyframe(int(kf_gid), timestamp)
+            if self.loopclosing is not None:
+                self.loopclosing.process_keyframe(
+                    self, int(kf_gid), pyr_l, self.feat, self.map, self.T_cw)
         # else: stay INITING and retry next frame (map object unchanged —
         # keyframe_step returned a new value we simply drop)
 
@@ -154,7 +157,10 @@ class System:
             self.T_cw = self.map.kf_pose[int(kf_slot)]
             self._refresh_keyframe_records()
         if self.loopclosing is not None:
-            self.loopclosing.process_keyframe(int(kf_gid), int(kf_slot), pyr_l)
+            ev = self.loopclosing.process_keyframe(
+                self, int(kf_gid), pyr_l, self.feat, self.map, self.T_cw)
+            if ev is not None and ev.corrected:
+                self.stats["n_loops"] += 1
 
     # ------------------------------------------------------------------
     def _record_keyframe(self, kf_gid: int, timestamp: float):
@@ -177,6 +183,35 @@ class System:
         for rec in self.keyframes[-len(by_gid) - 2:]:
             if rec["gid"] in by_gid:
                 rec["T_cw"] = by_gid[rec["gid"]]
+
+    # ------------------------------------------------------------------
+    # loop-closing hooks (called by ssvio_tpu.loopclosing.LoopClosing)
+    # ------------------------------------------------------------------
+    def pose_of_gid(self, gid: int) -> np.ndarray:
+        """Current T_cw of a keyframe by global id (host records)."""
+        for rec in reversed(self.keyframes):
+            if rec["gid"] == gid:
+                return rec["T_cw"]
+        raise KeyError(gid)
+
+    def active_gids(self):
+        kf_gid = np.asarray(self.map.kf_gid)
+        kf_valid = np.asarray(self.map.kf_valid)
+        return [int(g) for g, v in zip(kf_gid, kf_valid) if v]
+
+    def apply_loop_correction(self, loopclosing, corrected_map, T_corr):
+        """Install the rigidly re-anchored active map + corrected current
+        pose (reference CorrectActivateKeyframeAndMappoint writes the map
+        under the map-update mutex, loopclosing.cpp:378-456; here it is a
+        between-frames state swap)."""
+        self.map = corrected_map
+        self.T_cw = jnp.asarray(T_corr)
+        self._refresh_keyframe_records()
+
+    def on_pose_graph_updated(self):
+        """Host keyframe records were rewritten by PGO; nothing else to
+        sync (active window was held fixed, matching the reference's fixed
+        active vertices, loopclosing.cpp:488-500)."""
 
     # ------------------------------------------------------------------
     def keyframe_trajectory(self):

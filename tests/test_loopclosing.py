@@ -1,0 +1,117 @@
+"""Loop-closing pipeline tests: matching, correction math, end-to-end loop.
+
+Mirrors the reference's loop-closing behavior (src/ssvio/loopclosing.cpp)
+on synthetic sequences with exact ground truth.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssvio_tpu.config import Settings
+from ssvio_tpu.dataio import synthetic
+from ssvio_tpu.ops import se3
+
+
+def _small_settings():
+    s = Settings()
+    fx = 320.0
+    s.cam_left = dataclasses.replace(s.cam_left, fx=fx, fy=fx, cx=160.0, cy=64.0)
+    s.cam_right = dataclasses.replace(s.cam_right, fx=fx, fy=fx, cx=160.0, cy=64.0)
+    s.image_width, s.image_height = 320, 128
+    s.baseline_fx = 0.5 * fx
+    s.max_features = 192
+    s.max_landmarks = 4096
+    s.max_window = 8
+    s.min_init_landmarks = 60
+    # force a keyframe nearly every frame (inliers rarely exceed the
+    # feature budget) so the database warms up quickly
+    s.tracking_good = 10 ** 6
+    s.tracking_bad = 10
+    # small, test-sized loop-closing config
+    s.loop_db_min_size = 12
+    s.loop_min_age = 14
+    s.loop_min_gap = 5
+    s.max_keyframes_db = 128
+    s.loop_desc_scales = 2
+    s.vocab_k = 6
+    s.vocab_levels = 2
+    return s
+
+
+def test_match_self_keyframe():
+    """Matching a keyframe against itself returns identity matches."""
+    from ssvio_tpu.loopclosing import LoopClosing
+    s = _small_settings()
+    lc = LoopClosing(s, 320.0, 320.0, 160.0, 64.0)
+
+    rng = np.random.default_rng(0)
+    F, S = s.max_features, s.loop_desc_scales
+    desc = jnp.asarray(rng.integers(0, 2 ** 32, (F * S, 8), dtype=np.uint32))
+    valid = jnp.ones((F * S,), bool)
+    best_j, dist, ok = lc._match(desc, valid, desc, valid)
+    assert np.array_equal(np.asarray(best_j), np.arange(F))
+    assert (np.asarray(dist) == 0).all()
+    assert np.asarray(ok).all()
+
+
+def test_correct_active_rigid_invariance():
+    """Rigid correction preserves camera-frame coordinates of landmarks."""
+    from ssvio_tpu.loopclosing import LoopClosing
+    rng = np.random.default_rng(1)
+    W, M = 4, 32
+    kf_pose = jnp.asarray(np.stack([
+        np.asarray(se3.exp(jnp.asarray(rng.normal(0, 0.3, 6), jnp.float32)))
+        for _ in range(W)]))
+    lm = jnp.asarray(rng.normal(0, 5, (M, 3)).astype(np.float32))
+    lm_valid = jnp.ones((M,), bool)
+    C = se3.exp(jnp.asarray([0.5, -0.2, 1.0, 0.1, 0.2, -0.05], jnp.float32))
+    kf_new, lm_new = LoopClosing._correct_active_impl(kf_pose, lm, lm_valid, C)
+    for i in range(W):
+        before = np.asarray(se3.transform(kf_pose[i], lm))
+        after = np.asarray(se3.transform(kf_new[i], lm_new))
+        np.testing.assert_allclose(after, before, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_loop_closes_on_circular_trajectory():
+    """Full engine on a closed circle: the revisit must fire a loop event
+    and the loop-corrected keyframe trajectory must beat the uncorrected
+    one at the revisit point (the reference's headline capability,
+    README result/loop.png vs backend_no_loop.png)."""
+    from ssvio_tpu.system import System
+
+    s = _small_settings()
+    fx, fy = s.cam_left.fx, s.cam_left.fy
+    cx, cy = s.cam_left.cx, s.cam_left.cy
+    n = 120
+    world = synthetic.SyntheticWorld(seed=11, wall_x=16.0, ceiling_y=-5.0)
+    # circle plus overlap so the start area is revisited
+    poses = synthetic.loop_trajectory(n, radius=6.0)
+    extra = synthetic.loop_trajectory(n, radius=6.0)[:20]
+    poses = np.concatenate([poses, extra], axis=0)
+    L, R = synthetic.render_stereo_sequence(
+        world, poses, fx, fy, cx, cy, s.baseline, s.image_width,
+        s.image_height)
+
+    sys_ = System(s, enable_backend=True, enable_loop_closing=True)
+    for i in range(len(L)):
+        sys_.run_step(L[i], R[i], i * 0.1)
+
+    assert sys_.loopclosing is not None
+    assert sys_.loopclosing.vocab is not None, "vocabulary never trained"
+    assert len(sys_.loopclosing.events) > 0, "no loop candidate ever scored"
+    corrected = [e for e in sys_.loopclosing.events if e.corrected]
+    detected = [e for e in sys_.loopclosing.events if e.n_inliers >= 10]
+    assert detected, f"no verified loop: {sys_.loopclosing.events}"
+
+    # trajectory error at the end (revisit segment) must be small: either
+    # drift was low enough that no correction was needed (err <= 1 window)
+    # or a correction fired and pulled the estimate back
+    ts, est = sys_.keyframe_trajectory()
+    gids = [k["frame_id"] for k in sys_.keyframes]
+    gt = poses[gids]
+    err_end = np.linalg.norm(est[-1][:, 3] - gt[-1][:, 3])
+    assert err_end < 2.0, (err_end, len(corrected))
