@@ -39,7 +39,9 @@ def main():
     s.tracking_good = 120        # KF cadence scaled to the 512 budget
 
     n_frames = 40
-    world = synthetic.SyntheticWorld(seed=4, wall_x=15.0, ceiling_y=-8.0)
+    # default corridor (walls at +-8 m): enough NEAR structure that stereo
+    # init clears min_init_landmarks under the 60x-baseline depth cap
+    world = synthetic.SyntheticWorld(seed=4)
     poses = synthetic.straight_trajectory(n_frames, speed=0.6, yaw_rate=0.002)
     L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
                                             B, W, H)

@@ -40,6 +40,40 @@ def read_gray(path: str) -> np.ndarray:
     return img.astype(np.float32)
 
 
+def prefetching_reader(left: List[str], right: List[str],
+                       n_threads: int = 4, capacity: int = 8,
+                       ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """In-order stereo pair iterator with background decode.
+
+    Uses the native C++ ring loader (ssvio_tpu/native/dataloader.cpp) when
+    it can be built; otherwise a Python thread-pool prefetcher over cv2.
+    Either way the per-frame device step never blocks on disk/PNG inflate
+    (the reference decodes synchronously on the caller thread,
+    reference test/test_system.cpp:40-43).
+    """
+    from ssvio_tpu import native
+    if native.available():
+        yield from native.StereoLoader(left, right, n_threads=n_threads,
+                                       capacity=capacity)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        futs = []
+        i = 0
+        for j in range(min(capacity, len(left))):
+            futs.append(pool.submit(lambda a, b: (read_gray(a), read_gray(b)),
+                                    left[j], right[j]))
+        nxt = len(futs)
+        while i < len(left):
+            yield futs[i % capacity].result()
+            if nxt < len(left):
+                futs[nxt % capacity] = pool.submit(
+                    lambda a, b: (read_gray(a), read_gray(b)),
+                    left[nxt], right[nxt])
+                nxt += 1
+            i += 1
+
+
 def iterate_stereo(seq_dir: str) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
     left, right, ts = load_image_paths_and_timestamps(seq_dir)
     for lp, rp, t in zip(left, right, ts):

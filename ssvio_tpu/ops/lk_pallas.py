@@ -68,15 +68,18 @@ def _dyn_window(patch_ref, by_i, bx_i, win: int, rows: int):
 def _make_kernel(win: int, pty: int, pcy: int, iters: int, eps: float,
                  min_eig: float):
     def kernel(tlp_ref, tlc_ref, localT_ref, local0_ref, frozen0_ref,
-               # ^ scalar prefetch (SMEM): [N,2] i32 x2, [N,2] f32 x2, [N,1] i32
+               # ^ scalar prefetch (SMEM), all FLAT 1-D: [2N] i32 x2,
+               #   [2N] f32 x2, [N] i32. 2-D SMEM arrays get lane-padded to
+               #   128 on v5e (a [N,2] block charges N*128 words), which
+               #   overflows the 1MB SMEM for N>=256; 1-D arrays don't pad.
                prev_hbm, gx_hbm, gy_hbm, cur_hbm,      # ANY [H, W]
-               out_ref, flag_ref,                      # SMEM full [N,2],[N,1]
+               out_ref, flag_ref,                      # SMEM flat [2N],[N]
                patchT, patchGx, patchGy, patchC, sems):
         i = pl.program_id(0)
         # origins are pre-aligned by the wrapper (x: 128, y: 8); the
         # multiple_of hints let Mosaic prove tile alignment of the HBM slices
-        xt = pl.multiple_of(tlp_ref[i, 0], 128)
-        yt = pl.multiple_of(tlp_ref[i, 1], 8)
+        xt = pl.multiple_of(tlp_ref[2 * i], 128)
+        yt = pl.multiple_of(tlp_ref[2 * i + 1], 8)
         copies = []
         for src, dst, k in ((prev_hbm, patchT, 0), (gx_hbm, patchGx, 1),
                             (gy_hbm, patchGy, 2)):
@@ -84,8 +87,8 @@ def _make_kernel(win: int, pty: int, pcy: int, iters: int, eps: float,
                                       dst, sems.at[k])
             c.start()
             copies.append(c)
-        xc = pl.multiple_of(tlc_ref[i, 0], 128)
-        yc = pl.multiple_of(tlc_ref[i, 1], 8)
+        xc = pl.multiple_of(tlc_ref[2 * i], 128)
+        yc = pl.multiple_of(tlc_ref[2 * i + 1], 8)
         c4 = pltpu.make_async_copy(cur_hbm.at[pl.ds(yc, pcy), pl.ds(xc, LANES)],
                                    patchC, sems.at[3])
         c4.start()
@@ -93,8 +96,8 @@ def _make_kernel(win: int, pty: int, pcy: int, iters: int, eps: float,
             c.wait()
 
         # --- template + gradient windows (fixed fractional offset)
-        ltx = localT_ref[i, 0]
-        lty = localT_ref[i, 1]
+        ltx = localT_ref[2 * i]
+        lty = localT_ref[2 * i + 1]
         btx = jnp.clip(jnp.floor(ltx), 0, LANES - win - 1)
         bty = jnp.clip(jnp.floor(lty), 0, pty - win - 1)
         ftx = ltx - btx
@@ -142,14 +145,14 @@ def _make_kernel(win: int, pty: int, pcy: int, iters: int, eps: float,
             oob = (nlx < 0.0) | (nly < 0.0) | (nlx > lim_x) | (nly > lim_y)
             return nlx, nly, frozen | converged | oob
 
-        lx0 = local0_ref[i, 0]
-        ly0 = local0_ref[i, 1]
-        frozen0 = frozen0_ref[i, 0] > 0
+        lx0 = local0_ref[2 * i]
+        ly0 = local0_ref[2 * i + 1]
+        frozen0 = frozen0_ref[i] > 0
         oob0 = (lx0 < 0.0) | (ly0 < 0.0) | (lx0 > lim_x) | (ly0 > lim_y)
         lx, ly, _ = jax.lax.fori_loop(0, iters, body, (lx0, ly0, frozen0 | oob0))
-        out_ref[i, 0] = lx
-        out_ref[i, 1] = ly
-        flag_ref[i, 0] = good_g.astype(jnp.int32)
+        out_ref[2 * i] = lx
+        out_ref[2 * i + 1] = ly
+        flag_ref[i] = good_g.astype(jnp.int32)
 
     return kernel
 
@@ -199,8 +202,9 @@ def lk_level_pallas(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
     out, flag = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, 2), jnp.float32),
-                   jax.ShapeDtypeStruct((n, 1), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((2 * n,), jnp.float32),
+                   jax.ShapeDtypeStruct((n,), jnp.int32)],
         interpret=interpret,
-    )(tl_prev, tl_cur, localT, local0, frozen0, img_prev, gx, gy, img_cur)
-    return out, flag
+    )(tl_prev.reshape(-1), tl_cur.reshape(-1), localT.reshape(-1),
+      local0.reshape(-1), frozen0.reshape(-1), img_prev, gx, gy, img_cur)
+    return out.reshape(n, 2), flag.reshape(n, 1)
