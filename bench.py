@@ -6,18 +6,21 @@ The reference publishes no throughput numbers; KITTI is fed at its nominal
 10 fps (reference config/kitti_00.yaml:28 — see BASELINE.md). vs_baseline is
 therefore fps / 10.0; the BASELINE.json target is >=5x (>=50 fps/chip).
 
-The measured path is the real per-frame pipeline (pyramid build + seeded
-pyramidal LK + FB gate + 4x10 pose-only LM + status readback), running on
-whatever device JAX selects (the TPU chip under the driver), including the
-host->device image upload and the scalar pose/inlier readback every frame.
-Keyframe/BA frames are excluded from the steady-state timing but reported.
+The measured path is the CHUNKED device-resident pipeline (ssvio_tpu/
+engine.py): a lax.scan over the complete per-frame step — pyramid build,
+seeded pyramidal LK + FB gate, 4x10 pose-only LM, tracking state machine,
+keyframe insertion + stereo triangulation + sliding-window BA under
+lax.cond — with one host->device image upload and one scalar/pose readback
+per chunk. Keyframe/BA work therefore rides INSIDE the measured time
+(wall-clock over all steady-state chunks), unlike a tracking-only number.
 """
 
 import json
 import time
-import dataclasses
 
 import numpy as np
+
+CHUNK = 8
 
 
 def main():
@@ -38,7 +41,7 @@ def main():
     s.min_init_landmarks = 150
     s.tracking_good = 120        # KF cadence scaled to the 512 budget
 
-    n_frames = 40
+    n_frames = 72
     # default corridor (walls at +-8 m): enough NEAR structure that stereo
     # init clears min_init_landmarks under the 60x-baseline depth cap
     world = synthetic.SyntheticWorld(seed=4)
@@ -47,37 +50,33 @@ def main():
                                             B, W, H)
 
     sys_ = System(s, enable_backend=True, enable_loop_closing=False)
-    # warmup: init + first tracks + one KF path (compiles everything)
+    # warmup chunk: compiles the whole scan program (init+track+KF branches)
     t_first = time.time()
-    for i in range(3):
-        sys_.run_step(L[i], R[i], i * 0.1)
+    est = [sys_.run_chunk(L[:CHUNK], R[:CHUNK],
+                          [0.1 * i for i in range(CHUNK)])]
     compile_s = time.time() - t_first
 
-    track_times = []
-    kf_times = []
-    est = []
-    for i in range(3, n_frames):
-        kfs_before = sys_.stats["n_keyframes"]
+    # steady state: every chunk timed, keyframe/BA work included
+    chunk_times = []
+    for c in range(CHUNK, n_frames, CHUNK):
         t0 = time.time()
-        T = sys_.run_step(L[i], R[i], i * 0.1)
-        dt = time.time() - t0
-        est.append(T)
-        (kf_times if sys_.stats["n_keyframes"] > kfs_before else track_times).append(dt)
+        est.append(sys_.run_chunk(L[c:c + CHUNK], R[c:c + CHUNK],
+                                  [0.1 * (c + j) for j in range(CHUNK)]))
+        chunk_times.append(time.time() - t0)
 
-    fps = 1.0 / float(np.median(track_times)) if track_times else 0.0
-    wall_fps = (n_frames - 3) / (sum(track_times) + sum(kf_times))
-    stats = ate.ape_translation(np.stack(est)[:, :, 3], poses[3:, :, 3])
+    fps = (n_frames - CHUNK) / sum(chunk_times)
+    est = np.concatenate(est, axis=0)
+    stats = ate.ape_translation(est[:, :, 3], poses[:, :, 3])
 
     result = {
-        "metric": "tracking_frames_per_second_per_chip",
+        "metric": "frames_per_second_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 10.0, 2),
         "extra": {
-            "wall_fps_incl_keyframes": round(wall_fps, 2),
+            "chunk": CHUNK,
+            "chunk_ms_median": round(1e3 * float(np.median(chunk_times)), 1),
             "n_keyframes": sys_.stats["n_keyframes"],
-            "kf_step_ms_median": round(1e3 * float(np.median(kf_times)), 1) if kf_times else None,
-            "track_ms_median": round(1e3 * float(np.median(track_times)), 1) if track_times else None,
             "ate_rmse_m": round(stats["rmse"], 4),
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),

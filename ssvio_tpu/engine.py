@@ -1,0 +1,181 @@
+"""Device-resident chunked engine: N frames per dispatch via lax.scan.
+
+The reference pipelines its per-frame work across four POSIX threads and
+pays a mutex-guarded object graph for it (reference src/ssvio/frontend.cpp,
+backend.cpp — see SURVEY §2.3). The TPU-native equivalent is to make the
+whole per-frame step — pyramid build, seeded LK, pose-only LM, the
+tracking-status state machine, keyframe insertion, stereo triangulation,
+and sliding-window BA — a single compiled program, and to scan it over a
+CHUNK of frames so host<->device latency (dispatch + pose readback) is
+paid once per chunk instead of several times per frame:
+
+    carry = (pyramid of last frame, feature set, pose, rel motion,
+             map window, status)
+    carry, per_frame_outputs = lax.scan(step, carry, (imgs_l, imgs_r))
+
+Control flow that is data-dependent in the reference (state machine
+switch, keyframe trigger) becomes lax.switch / lax.cond ON DEVICE
+(reference FrontEnd::GrabSteroImage dispatches on status_ on the host
+thread, frontend.cpp:49-67; Backend::OptimizeActiveMap runs on its own
+thread, backend.cpp:78-245 — here the BA rides the keyframe branch of the
+same program). The host reads back only [K] poses + status/keyframe flags
+per chunk and drives loop closing for the (rare) flagged frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ssvio_tpu import frontend as fe
+from ssvio_tpu import map as mapmod
+from ssvio_tpu.ops import ba, se3
+
+
+class EngineCarry(NamedTuple):
+    """Everything the per-frame step needs from the previous frame."""
+    pyr_last: Tuple[jnp.ndarray, ...]
+    feat: fe.FeatState
+    T_cw: jnp.ndarray        # [3, 4]
+    rel_motion: jnp.ndarray  # [3, 4]
+    m: mapmod.MapState
+    status: jnp.ndarray      # [] int32 (fe.INITING/TRACKING_GOOD/BAD/LOST)
+
+
+class FrameOut(NamedTuple):
+    """Per-frame scan outputs. Scalars are read back each chunk; `feat`
+    stays on device and is sliced only for keyframe frames (loop closing)."""
+    T_cw: jnp.ndarray        # [3, 4] post-BA pose of the frame
+    status: jnp.ndarray      # [] int32 status AFTER this frame
+    n_inliers: jnp.ndarray   # [] int32
+    kf_flag: jnp.ndarray     # [] bool — a keyframe was inserted this frame
+    kf_slot: jnp.ndarray     # [] int32 window slot of that keyframe
+    kf_gid: jnp.ndarray      # [] int32 global id of that keyframe
+    feat: fe.FeatState       # feature state after the frame (device-side)
+
+
+def _sel(pred, a, b):
+    """Pytree-wide where(pred, a, b) with rank broadcasting."""
+    def one(x, y):
+        p = jnp.reshape(pred, (1,) * x.ndim) if x.ndim else pred
+        return jnp.where(p, x, y)
+    return jax.tree.map(one, a, b)
+
+
+class Engine:
+    """Owns the jitted chunk program. Stateless apart from compile caches;
+    all SLAM state lives in the EngineCarry the caller threads through."""
+
+    def __init__(self, frontend: fe.Frontend, enable_backend: bool):
+        self.fe = frontend
+        self.s = frontend.s
+        self.enable_backend = enable_backend
+        self.run_chunk = jax.jit(self._run_chunk)
+        self.run_frame = jax.jit(self._step)
+
+    # ------------------------------------------------------------------
+    def _kf_insert(self, pyr_l, pyr_r, m, feat, T_cw, run_ba: bool):
+        """Keyframe insertion (+ sliding-window BA on the tracking path).
+
+        Reference: FrontEnd::InsertKeyFrame frontend.cpp:546-576 followed by
+        Backend::OptimizeActiveMap backend.cpp:78-245 — there a thread
+        handoff, here the cond branch of one program."""
+        f = self.fe
+        feat2, m2, kf_slot, kf_gid, n_created = f._keyframe_step(
+            pyr_l, pyr_r, feat, T_cw, m)
+        if run_ba:
+            prob = mapmod.ba_problem_from_map(m2)
+            res = ba.local_ba(prob, f._fx, f._fy, f._cx, f._cy, f._baseline)
+            m2 = mapmod.apply_ba_result(m2, res.kf_T_cw, res.lm_pos,
+                                        res.obs_valid)
+            T_cw = m2.kf_pose[kf_slot]   # pose rides the optimized keyframe
+        return feat2, m2, kf_slot, kf_gid, n_created, T_cw
+
+    # ------------------------------------------------------------------
+    def _step(self, carry: EngineCarry, img_l, img_r):
+        f = self.fe
+        s = self.s
+        pyr_l = f._build_pyramid(img_l)
+        no_kf_out = (jnp.int32(-1), jnp.int32(-1))
+
+        # ---- branch 0: INITING (reference SteroInit, frontend.cpp:430-446)
+        def br_init(c: EngineCarry):
+            pyr_r = f._build_pyramid(img_r)
+            empty = fe.empty_feat_state(s.max_features)
+            feat2, m2, kf_slot, kf_gid, n_created, _ = self._kf_insert(
+                pyr_l, pyr_r, c.m, empty, se3.identity(), run_ba=False)
+            ok = n_created >= s.min_init_landmarks
+            taken = EngineCarry(pyr_l, feat2, se3.identity(), se3.identity(),
+                                m2, jnp.int32(fe.TRACKING_GOOD))
+            retry = c._replace(pyr_last=pyr_l)
+            c2 = _sel(ok, taken, retry)
+            out = FrameOut(T_cw=se3.identity(), status=c2.status,
+                           n_inliers=jnp.int32(0), kf_flag=ok,
+                           kf_slot=jnp.where(ok, kf_slot, -1),
+                           kf_gid=jnp.where(ok, kf_gid, -1), feat=c2.feat)
+            return c2, out
+
+        # ---- branch 1: TRACKING_GOOD / TRACKING_BAD (Track, :79-128)
+        def br_track(c: EngineCarry):
+            out = f._track_step(c.pyr_last, pyr_l, c.feat, c.T_cw,
+                                c.rel_motion, c.m.lm_pos, c.m.lm_valid,
+                                c.m.lm_gid)
+            n_inl = out.n_inliers
+            status = jnp.where(
+                n_inl > s.tracking_good, jnp.int32(fe.TRACKING_GOOD),
+                jnp.where(n_inl > s.tracking_bad, jnp.int32(fe.TRACKING_BAD),
+                          jnp.int32(fe.LOST)))
+            need_kf = status == fe.TRACKING_BAD
+
+            def do_kf(_):
+                pyr_r = f._build_pyramid(img_r)
+                feat2, m2, kf_slot, kf_gid, _, T2 = self._kf_insert(
+                    pyr_l, pyr_r, c.m, out.feat, out.T_cw,
+                    run_ba=self.enable_backend)
+                return feat2, m2, (kf_slot, kf_gid), T2
+
+            def no_kf(_):
+                return out.feat, c.m, no_kf_out, out.T_cw
+
+            feat2, m2, (kf_slot, kf_gid), T2 = jax.lax.cond(
+                need_kf, do_kf, no_kf, None)
+            c2 = EngineCarry(pyr_l, feat2, T2, out.rel_motion, m2, status)
+            return c2, FrameOut(T_cw=T2, status=status, n_inliers=n_inl,
+                                kf_flag=need_kf, kf_slot=kf_slot,
+                                kf_gid=kf_gid, feat=feat2)
+
+        # ---- branch 2: LOST dead-ends (reference frontend.cpp:62-66 TODO)
+        def br_lost(c: EngineCarry):
+            c2 = c._replace(pyr_last=pyr_l)
+            return c2, FrameOut(T_cw=c.T_cw, status=c.status,
+                                n_inliers=jnp.int32(0),
+                                kf_flag=jnp.asarray(False),
+                                kf_slot=no_kf_out[0], kf_gid=no_kf_out[1],
+                                feat=c.feat)
+
+        branch = jnp.clip(carry.status, 0, 3)          # GOOD/BAD share br_track
+        branch = jnp.where(branch == 2, 1, branch)
+        branch = jnp.where(branch == 3, 2, branch)
+        return jax.lax.switch(branch, [br_init, br_track, br_lost], carry)
+
+    # ------------------------------------------------------------------
+    def _run_chunk(self, carry: EngineCarry, imgs_l, imgs_r):
+        """Scan the per-frame step over [K, H, W] stereo stacks — ONE
+        dispatch per chunk, ~16 scalars + one pose per frame read back."""
+        def step(c, xy):
+            return self._step(c, xy[0], xy[1])
+        return jax.lax.scan(step, carry, (imgs_l, imgs_r))
+
+
+def fresh_carry(settings, frontend: fe.Frontend, m: mapmod.MapState
+                ) -> EngineCarry:
+    """Initial carry: INITING status, zero pyramid placeholder."""
+    zero = jnp.zeros((frontend.h, frontend.w), jnp.float32)
+    return EngineCarry(
+        pyr_last=frontend._build_pyramid(zero),
+        feat=fe.empty_feat_state(settings.max_features),
+        T_cw=se3.identity(), rel_motion=se3.identity(), m=m,
+        status=jnp.int32(fe.INITING))

@@ -59,6 +59,8 @@ class System:
         self.feat = fe.empty_feat_state(settings.max_features)
         self.last_pyr = None
         self.frame_id = -1
+        self._engine = None            # chunked scan engine, built lazily
+        self._lc_T_ref = None          # pose handed to loop closing
 
         # host-side global records (unbounded; the active window is on device)
         self.trajectory = []        # (timestamp, frame_id, T_wc [3,4] np)
@@ -121,6 +123,100 @@ class System:
         T_wc = np.asarray(se3.inverse(self.T_cw))
         self.trajectory.append((timestamp, self.frame_id, T_wc))
         return T_wc
+
+    # ------------------------------------------------------------------
+    def run_chunk(self, lefts, rights, timestamps=None) -> np.ndarray:
+        """Process K stereo pairs in ONE device dispatch (lax.scan over the
+        full per-frame step — see ssvio_tpu/engine.py). Returns T_wc
+        [K, 3, 4]. Functionally equivalent to K run_step calls; loop
+        closing runs at the chunk boundary for any keyframes created inside
+        (the reference's loop-closing thread is equally asynchronous,
+        reference src/ssvio/loopclosing.cpp:39-70)."""
+        from ssvio_tpu import engine as eng
+
+        K = len(lefts)
+        if timestamps is None:
+            timestamps = [0.0] * K
+        if self._engine is None:
+            self._engine = eng.Engine(self.frontend, self.enable_backend)
+        imgs_l = jnp.stack([self._pad(np.asarray(im, np.float32))
+                            for im in lefts])
+        imgs_r = jnp.stack([self._pad(np.asarray(im, np.float32))
+                            for im in rights])
+        if self.last_pyr is None:
+            # no previous frame (fresh start): zero pyramid placeholder;
+            # current attributes carry over (matters after checkpoint load)
+            zero = jnp.zeros((self.h, self.w), jnp.float32)
+            pyr_last = self.frontend.build_pyramid(zero)
+        else:
+            pyr_last = self.last_pyr
+        carry = eng.EngineCarry(
+            pyr_last=pyr_last, feat=self.feat,
+            T_cw=jnp.asarray(self.T_cw),
+            rel_motion=jnp.asarray(self.rel_motion), m=self.map,
+            status=jnp.int32(self.status))
+        carry, outs = self._engine.run_chunk(carry, imgs_l, imgs_r)
+
+        # install the post-chunk device state
+        self.last_pyr = carry.pyr_last
+        self.feat = carry.feat
+        self.T_cw = carry.T_cw
+        self.rel_motion = carry.rel_motion
+        self.map = carry.m
+        self.status = int(carry.status)
+
+        # ONE small readback for the whole chunk
+        T_cw_k = np.asarray(outs.T_cw)
+        kf_flag = np.asarray(outs.kf_flag)
+        kf_gid_k = np.asarray(outs.kf_gid)
+        kf_slot_k = np.asarray(outs.kf_slot)
+        statuses = np.asarray(outs.status)
+
+        T_wc_k = np.empty_like(T_cw_k)
+        for i in range(K):
+            self.frame_id += 1
+            R = T_cw_k[i, :, :3]
+            T_wc_k[i, :, :3] = R.T
+            T_wc_k[i, :, 3] = -R.T @ T_cw_k[i, :, 3]
+            # INITING retries report identity; keep parity with run_step,
+            # which also records identity while uninitialized
+            self.trajectory.append((timestamps[i], self.frame_id, T_wc_k[i]))
+            if kf_flag[i] and statuses[i] != fe.LOST:
+                self._record_keyframe_at(int(kf_gid_k[i]), timestamps[i],
+                                         T_cw_k[i], self.frame_id)
+        self._refresh_keyframe_records()
+
+        # loop closing for keyframes created inside the chunk
+        if self.loopclosing is not None and kf_flag.any():
+            for i in np.nonzero(kf_flag)[0]:
+                gid = int(kf_gid_k[i])
+                pyr_i = self.frontend.build_pyramid(imgs_l[i])
+                feat_i = jax.tree.map(lambda a: a[i], outs.feat)
+                try:
+                    T_kf = jnp.asarray(self.pose_of_gid(gid))
+                except KeyError:
+                    continue
+                self._lc_T_ref = np.asarray(T_kf)
+                ev = self.loopclosing.process_keyframe(
+                    self, gid, pyr_i, feat_i, self.map, T_kf)
+                self._lc_T_ref = None
+                if ev is not None and ev.corrected:
+                    self.stats["n_loops"] += 1
+        return T_wc_k
+
+    def _record_keyframe_at(self, kf_gid: int, timestamp: float,
+                            T_cw: np.ndarray, frame_id: int):
+        """run_chunk variant of _record_keyframe (pose comes from the scan
+        outputs rather than self.T_cw)."""
+        self.keyframes.append({"gid": kf_gid, "frame_id": frame_id,
+                               "timestamp": timestamp,
+                               "T_cw": np.asarray(T_cw)})
+        if len(self.keyframes) > 1:
+            prev = self.keyframes[-2]
+            Z = np.asarray(se3.compose(jnp.asarray(T_cw),
+                                       se3.inverse(jnp.asarray(prev["T_cw"]))))
+            self.kf_rel_edges.append((prev["gid"], kf_gid, Z))
+        self.stats["n_keyframes"] += 1
 
     # ------------------------------------------------------------------
     def _try_init(self, pyr_l, pyr_r, timestamp):
@@ -203,9 +299,20 @@ class System:
         """Install the rigidly re-anchored active map + corrected current
         pose (reference CorrectActivateKeyframeAndMappoint writes the map
         under the map-update mutex, loopclosing.cpp:378-456; here it is a
-        between-frames state swap)."""
+        between-frames state swap).
+
+        In chunked mode (_lc_T_ref set) the corrected keyframe may lie a
+        few frames behind the current pose; the current pose rides the same
+        rigid right-multiplied correction C = T_ref^-1 T_corr the active
+        window got, so when T_ref == current pose this reduces exactly to
+        T_cw = T_corr (the per-frame behavior)."""
         self.map = corrected_map
-        self.T_cw = jnp.asarray(T_corr)
+        if self._lc_T_ref is not None:
+            C = se3.compose(se3.inverse(jnp.asarray(self._lc_T_ref)),
+                            jnp.asarray(T_corr))
+            self.T_cw = se3.compose(jnp.asarray(self.T_cw), C)
+        else:
+            self.T_cw = jnp.asarray(T_corr)
         self._refresh_keyframe_records()
 
     def on_pose_graph_updated(self):
