@@ -48,6 +48,10 @@ def main():
     poses = synthetic.straight_trajectory(n_frames, speed=0.6, yaw_rate=0.002)
     L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
                                             B, W, H)
+    # camera-native uint8 frames: what a real sensor/KITTI provides, and 4x
+    # fewer bytes over the host->device link (engine promotes on device)
+    L = [np.clip(im, 0, 255).astype(np.uint8) for im in L]
+    R = [np.clip(im, 0, 255).astype(np.uint8) for im in R]
 
     sys_ = System(s, enable_backend=True, enable_loop_closing=False)
     # warmup chunk: compiles the whole scan program (init+track+KF branches)
@@ -56,11 +60,21 @@ def main():
                           [0.1 * i for i in range(CHUNK)])]
     compile_s = time.time() - t_first
 
-    # steady state: every chunk timed, keyframe/BA work included
+    # steady state: every chunk timed, keyframe/BA work included.
+    # Pipelined I/O: the NEXT chunk's pad+upload is issued right after the
+    # current chunk is handed to the device, so host->device transfer
+    # overlaps compute (device_put is asynchronous) — the role the
+    # reference's synchronous dataset loop leaves on the table and our
+    # native prefetching loader plays for disk input.
     chunk_times = []
+    up = sys_.upload_chunk(L[CHUNK:2 * CHUNK], R[CHUNK:2 * CHUNK])
     for c in range(CHUNK, n_frames, CHUNK):
         t0 = time.time()
-        est.append(sys_.run_chunk(L[c:c + CHUNK], R[c:c + CHUNK],
+        cur, up = up, None
+        nxt = c + CHUNK
+        if nxt < n_frames:
+            up = sys_.upload_chunk(L[nxt:nxt + CHUNK], R[nxt:nxt + CHUNK])
+        est.append(sys_.run_chunk(cur[0], cur[1],
                                   [0.1 * (c + j) for j in range(CHUNK)]))
         chunk_times.append(time.time() - t0)
 

@@ -98,6 +98,10 @@ class Engine:
     def _step(self, carry: EngineCarry, img_l, img_r):
         f = self.fe
         s = self.s
+        # images may arrive as uint8 (camera-native; 4x cheaper to upload
+        # over the host<->TPU link) — promote on device
+        img_l = img_l.astype(jnp.float32)
+        img_r = img_r.astype(jnp.float32)
         pyr_l = f._build_pyramid(img_l)
         no_kf_out = (jnp.int32(-1), jnp.int32(-1))
 
@@ -167,7 +171,45 @@ class Engine:
         dispatch per chunk, ~16 scalars + one pose per frame read back."""
         def step(c, xy):
             return self._step(c, xy[0], xy[1])
-        return jax.lax.scan(step, carry, (imgs_l, imgs_r))
+        carry, outs = jax.lax.scan(step, carry, (imgs_l, imgs_r))
+        return carry, outs, pack_readback(carry, outs)
+
+
+PER_FRAME_PACK = 17          # 12 pose + status + n_inliers + kf_flag/slot/gid
+
+
+def pack_readback(carry: EngineCarry, outs: FrameOut) -> jnp.ndarray:
+    """Flatten everything the host needs per chunk into ONE f32 vector so
+    the host does a single device->host fetch (each fetch over the axon
+    tunnel costs ~28 ms of latency regardless of size; the naive per-field
+    readback was ~200 ms/chunk). Layout:
+
+      [K*17]  per frame: T_cw (12) | status | n_inliers | kf_flag | kf_slot
+              | kf_gid
+      [1]     carry.status after the chunk
+      [W]     map.kf_gid   (window keyframe ids, for record refresh)
+      [W]     map.kf_valid
+      [12W]   map.kf_pose flattened
+
+    int fields ride as f32 (ids stay well under 2^24)."""
+    K = outs.T_cw.shape[0]
+    f32 = jnp.float32
+    per = jnp.concatenate([
+        outs.T_cw.reshape(K, 12),
+        outs.status[:, None].astype(f32),
+        outs.n_inliers[:, None].astype(f32),
+        outs.kf_flag[:, None].astype(f32),
+        outs.kf_slot[:, None].astype(f32),
+        outs.kf_gid[:, None].astype(f32),
+    ], axis=1)
+    m = carry.m
+    tail = jnp.concatenate([
+        carry.status[None].astype(f32),
+        m.kf_gid.astype(f32),
+        m.kf_valid.astype(f32),
+        m.kf_pose.reshape(-1),
+    ])
+    return jnp.concatenate([per.reshape(-1), tail])
 
 
 def fresh_carry(settings, frontend: fe.Frontend, m: mapmod.MapState

@@ -37,6 +37,23 @@ from ssvio_tpu.ops import ba, camera, fast, lk, pyramid, sampling, se3, triangul
 INITING, TRACKING_GOOD, TRACKING_BAD, LOST = 0, 1, 2, 3
 
 
+class Pyr(NamedTuple):
+    """Image pyramid + its Sobel gradients, built ONCE per image.
+
+    The gradients are the LK template-side state; caching them here lets
+    the forward temporal track (template = last frame), backward FB check
+    (template = current frame) and stereo matcher (template = left image)
+    share one computation instead of re-deriving them inside every
+    lk.track call (= 6 full-image Sobel passes per tracked frame)."""
+    levels: Tuple[jnp.ndarray, ...]
+    gx: Tuple[jnp.ndarray, ...]
+    gy: Tuple[jnp.ndarray, ...]
+
+    @property
+    def grads(self):
+        return (self.gx, self.gy)
+
+
 class FeatState(NamedTuple):
     """Current-frame feature set, fixed capacity N.
 
@@ -96,8 +113,12 @@ class Frontend:
         self.build_pyramid = jax.jit(self._build_pyramid)
 
     # ------------------------------------------------------------------
-    def _build_pyramid(self, img: jnp.ndarray) -> List[jnp.ndarray]:
-        return pyramid.build_lk_pyramid(img, self.s.lk_levels + 1)
+    def _build_pyramid(self, img: jnp.ndarray) -> Pyr:
+        levels = pyramid.build_lk_pyramid(img, self.s.lk_levels + 1)
+        grads = [pyramid.sobel_gradients(l) for l in levels]
+        return Pyr(levels=tuple(levels),
+                   gx=tuple(g[0] for g in grads),
+                   gy=tuple(g[1] for g in grads))
 
     # ------------------------------------------------------------------
     def _track_step(self, pyr_last, pyr_cur, feat: FeatState,
@@ -112,8 +133,9 @@ class Frontend:
         in_img = sampling.in_bounds(seed, self.rh, self.rw, border=8.0)
         seed = jnp.where((has_lm & in_img)[:, None], seed, feat.xy)
 
-        new_xy, ok, err = lk.track(pyr_last, pyr_cur, feat.xy, seed,
-                                   has_lm, self.lk_params)
+        new_xy, ok, _ = lk.track(pyr_last.levels, pyr_cur.levels, feat.xy,
+                                 seed, has_lm, self.lk_params,
+                                 compute_err=False, grads_prev=pyr_last.grads)
         # forward-backward gate: a track must return to its origin when
         # tracked back. This breaks the prior-seeded positive feedback where
         # LK "slides" with an overshooting constant-velocity guess on weak
@@ -122,8 +144,9 @@ class Frontend:
         # backward seed = the landed position itself (zero flow): the
         # reverse track must find its own way home; seeding it with the
         # origin would bias it into agreeing with mislocks.
-        xy_back, ok_b, _ = lk.track(pyr_cur, pyr_last, new_xy, new_xy,
-                                    has_lm & ok, self.lk_params)
+        xy_back, ok_b, _ = lk.track(pyr_cur.levels, pyr_last.levels, new_xy,
+                                    new_xy, has_lm & ok, self.lk_params,
+                                    compute_err=False, grads_prev=pyr_cur.grads)
         fb = jnp.linalg.norm(xy_back - feat.xy, axis=-1)
         in_real = sampling.in_bounds(new_xy, self.rh, self.rw, border=1.0)
         tracked = has_lm & ok & ok_b & (fb < 0.6) & in_real
@@ -200,16 +223,18 @@ class Frontend:
         seed = camera.camera2pixel(self.rig.intr_right, p_cr)
         in_img = sampling.in_bounds(seed, self.rh, self.rw, border=8.0)
         seed = jnp.where((has_lm & in_img)[:, None], seed, feat.xy)
-        xy_r, ok, err = lk.track(pyr_l, pyr_r, feat.xy, seed, feat.valid,
-                                 self.lk_params_stereo)
+        xy_r, ok, err = lk.track(pyr_l.levels, pyr_r.levels, feat.xy, seed,
+                                 feat.valid, self.lk_params_stereo,
+                                 grads_prev=pyr_l.grads)
         # forward-backward consistency: re-track right->left and demand the
         # round trip lands within 0.6 px. Kills the repetitive-texture
         # mislocks that otherwise produce systematically-deep triangulations
         # (weak new corners are especially prone; the reference relies on
         # per-feature chi2 gating downstream, which cannot catch a
         # consistent mislock).
-        xy_back, ok_b, _ = lk.track(pyr_r, pyr_l, xy_r, xy_r,
-                                    ok & feat.valid, self.lk_params_stereo)
+        xy_back, ok_b, _ = lk.track(pyr_r.levels, pyr_l.levels, xy_r, xy_r,
+                                    ok & feat.valid, self.lk_params_stereo,
+                                    compute_err=False, grads_prev=pyr_r.grads)
         fb = jnp.linalg.norm(xy_back - feat.xy, axis=-1)
         # rectified epipolar sanity: |dy| small, disparity positive
         dy = jnp.abs(xy_r[:, 1] - feat.xy[:, 1])
@@ -225,7 +250,7 @@ class Frontend:
 
         Returns (feat', map', kf_slot, kf_gid, n_landmarks_created).
         """
-        feat2, is_new = self._detect_merge(pyr_l[0], feat)
+        feat2, is_new = self._detect_merge(pyr_l.levels[0], feat)
         # generation check: a stale slot link (GC'd + recycled landmark)
         # must not register observations of the new occupant
         lm_idx2 = jnp.clip(feat2.lm_slot, 0, m.lm_pos.shape[0] - 1)

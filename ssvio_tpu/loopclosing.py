@@ -169,6 +169,8 @@ class LoopClosing:
         receives pose updates.
         """
         s = self.s
+        if hasattr(pyr_l, "levels"):     # frontend.Pyr carries gradients too
+            pyr_l = pyr_l.levels
         if self.n >= self.cap:
             return None
         row = self.n

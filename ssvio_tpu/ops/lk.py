@@ -242,7 +242,8 @@ def _track_level(img_prev: jnp.ndarray, img_cur: jnp.ndarray,
 
 def track(pyr_prev: List[jnp.ndarray], pyr_cur: List[jnp.ndarray],
           pts_prev: jnp.ndarray, pts_init: jnp.ndarray,
-          valid: jnp.ndarray, params: LKParams = LKParams()
+          valid: jnp.ndarray, params: LKParams = LKParams(),
+          compute_err: bool = True, grads_prev=None
           ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Track keypoints from prev to cur through the pyramid.
 
@@ -253,6 +254,16 @@ def track(pyr_prev: List[jnp.ndarray], pyr_cur: List[jnp.ndarray],
       pts_init: [N, 2] initial guesses in cur frame (the USE_INITIAL_FLOW
         seed; pass pts_prev for none).
       valid:    [N] input validity mask.
+      compute_err: when False, skip the final photometric window resample —
+        it is a vmapped-dynamic-slice gather pass (the cost the Pallas
+        kernel exists to avoid) and only callers that gate on `err` need it
+        (the stereo matcher; the temporal tracker uses the FB check
+        instead). err is returned as zeros in that case.
+      grads_prev: optional ((gx per level), (gy per level)) Sobel gradients
+        of pyr_prev, computed once per image and reused across the
+        forward/backward/stereo track calls that share a template pyramid
+        (recomputing them inside every call was ~20% of the per-frame
+        device time). None recomputes them here.
 
     Returns (pts_cur [N, 2], ok [N] bool, err [N] mean abs window residual).
     """
@@ -263,7 +274,10 @@ def track(pyr_prev: List[jnp.ndarray], pyr_cur: List[jnp.ndarray],
     for l in range(levels - 1, -1, -1):
         img_p = pyr_prev[l]
         img_c = pyr_cur[l]
-        gx, gy = pyr_ops.sobel_gradients(img_p)
+        if grads_prev is not None:
+            gx, gy = grads_prev[0][l], grads_prev[1][l]
+        else:
+            gx, gy = pyr_ops.sobel_gradients(img_p)
         pts_cur_lvl, ok_lvl = _track_level(img_p, img_c, gx, gy,
                                            pts_lvl, pts_lvl + flow, params)
         flow = pts_cur_lvl - pts_lvl
@@ -272,16 +286,21 @@ def track(pyr_prev: List[jnp.ndarray], pyr_cur: List[jnp.ndarray],
             pts_lvl = pts_prev / (2.0 ** (l - 1))
             flow = flow * 2.0
     pts_cur = pts_prev + flow
-    # final photometric error on the finest level (window resample)
-    win = params.window
-    r = win // 2
-    tlp = jnp.floor(pts_prev).astype(jnp.int32) - r
-    patch_T, org_T = _extract_patches(pyr_prev[0], tlp, win + 2)
-    T = _sample_window(patch_T, pts_prev - r - org_T.astype(pts_prev.dtype), win)
-    tlc = jnp.floor(pts_cur).astype(jnp.int32) - r
-    patch_I, org_I = _extract_patches(pyr_cur[0], tlc, win + 2)
-    I = _sample_window(patch_I, pts_cur - r - org_I.astype(pts_cur.dtype), win)
-    err = jnp.mean(jnp.abs(T - I), axis=(1, 2))
+    if compute_err:
+        # final photometric error on the finest level (window resample)
+        win = params.window
+        r = win // 2
+        tlp = jnp.floor(pts_prev).astype(jnp.int32) - r
+        patch_T, org_T = _extract_patches(pyr_prev[0], tlp, win + 2)
+        T = _sample_window(patch_T, pts_prev - r - org_T.astype(pts_prev.dtype),
+                           win)
+        tlc = jnp.floor(pts_cur).astype(jnp.int32) - r
+        patch_I, org_I = _extract_patches(pyr_cur[0], tlc, win + 2)
+        I = _sample_window(patch_I, pts_cur - r - org_I.astype(pts_cur.dtype),
+                           win)
+        err = jnp.mean(jnp.abs(T - I), axis=(1, 2))
+    else:
+        err = jnp.zeros(pts_cur.shape[0], pts_cur.dtype)
     ok = ok & sampling.in_bounds(pts_cur, pyr_cur[0].shape[0], pyr_cur[0].shape[1],
                                  border=1.0)
     return pts_cur, ok, err

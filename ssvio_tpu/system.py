@@ -67,6 +67,7 @@ class System:
         self.keyframes = []         # dicts: gid, frame_id, timestamp, T_cw (np)
         self.kf_rel_edges = []      # (gid_prev, gid, Z [3,4]) odometry edges
         self.stats = {"n_keyframes": 0, "n_loops": 0, "track_ms": []}
+        self._kf_cache = None       # packed window records (chunk readback)
         if self.enable_loop:
             from ssvio_tpu.loopclosing import LoopClosing
             self.loopclosing = LoopClosing(
@@ -76,14 +77,34 @@ class System:
             self.loopclosing = None
 
     # ------------------------------------------------------------------
-    def _pad(self, img: np.ndarray) -> jnp.ndarray:
+    def _pad_np(self, img: np.ndarray, out: np.ndarray) -> None:
+        """Edge-pad one image into a preallocated [self.h, self.w] buffer."""
         h, w = img.shape
-        out = np.zeros((self.h, self.w), np.float32)
         out[:h, :w] = img
         if w < self.w:
             out[:h, w:] = img[:, -1:]
         if h < self.h:
             out[h:, :] = out[h - 1: h, :]
+
+    def _pad(self, img: np.ndarray) -> jnp.ndarray:
+        out = np.zeros((self.h, self.w), np.float32)
+        self._pad_np(np.asarray(img, np.float32), out)
+        return jnp.asarray(out)
+
+    def _pad_stack(self, imgs) -> jnp.ndarray:
+        """Pad K images into ONE contiguous host buffer and upload with a
+        single device_put. The per-frame `jnp.stack([...jnp arrays...])`
+        alternative costs K separate host->device transfers plus a device
+        concatenate — measured ~0.5 s/chunk over the axon tunnel vs ~30 ms
+        for this path (latency per transfer dominates, not bandwidth).
+
+        uint8 input stays uint8 on the wire (4x fewer bytes; the engine
+        promotes to f32 on device) — feed camera-native u8 where possible."""
+        K = len(imgs)
+        dt = np.uint8 if np.asarray(imgs[0]).dtype == np.uint8 else np.float32
+        out = np.zeros((K, self.h, self.w), dt)
+        for i, im in enumerate(imgs):
+            self._pad_np(np.asarray(im, dt), out[i])
         return jnp.asarray(out)
 
     # ------------------------------------------------------------------
@@ -125,6 +146,14 @@ class System:
         return T_wc
 
     # ------------------------------------------------------------------
+    def upload_chunk(self, lefts, rights):
+        """Pad + asynchronously upload K stereo pairs; returns device
+        arrays to pass to run_chunk. Issue this for chunk k+1 right after
+        dispatching chunk k to overlap host->device transfer with compute
+        (the TPU-native analog of the reference feeding frames from a
+        separate dataset thread)."""
+        return self._pad_stack(lefts), self._pad_stack(rights)
+
     def run_chunk(self, lefts, rights, timestamps=None) -> np.ndarray:
         """Process K stereo pairs in ONE device dispatch (lax.scan over the
         full per-frame step — see ssvio_tpu/engine.py). Returns T_wc
@@ -139,10 +168,12 @@ class System:
             timestamps = [0.0] * K
         if self._engine is None:
             self._engine = eng.Engine(self.frontend, self.enable_backend)
-        imgs_l = jnp.stack([self._pad(np.asarray(im, np.float32))
-                            for im in lefts])
-        imgs_r = jnp.stack([self._pad(np.asarray(im, np.float32))
-                            for im in rights])
+        if isinstance(lefts, jax.Array):        # pre-uploaded via upload_chunk
+            imgs_l, imgs_r = lefts, rights
+        else:
+            # pad on host into one contiguous buffer, ONE upload per eye
+            imgs_l = self._pad_stack(lefts)
+            imgs_r = self._pad_stack(rights)
         if self.last_pyr is None:
             # no previous frame (fresh start): zero pyramid placeholder;
             # current attributes carry over (matters after checkpoint load)
@@ -155,22 +186,30 @@ class System:
             T_cw=jnp.asarray(self.T_cw),
             rel_motion=jnp.asarray(self.rel_motion), m=self.map,
             status=jnp.int32(self.status))
-        carry, outs = self._engine.run_chunk(carry, imgs_l, imgs_r)
+        carry, outs, packed = self._engine.run_chunk(carry, imgs_l, imgs_r)
 
-        # install the post-chunk device state
+        # install the post-chunk device state (stays on device)
         self.last_pyr = carry.pyr_last
         self.feat = carry.feat
         self.T_cw = carry.T_cw
         self.rel_motion = carry.rel_motion
         self.map = carry.m
-        self.status = int(carry.status)
 
-        # ONE small readback for the whole chunk
-        T_cw_k = np.asarray(outs.T_cw)
-        kf_flag = np.asarray(outs.kf_flag)
-        kf_gid_k = np.asarray(outs.kf_gid)
-        kf_slot_k = np.asarray(outs.kf_slot)
-        statuses = np.asarray(outs.status)
+        # ONE device->host fetch for the whole chunk (see engine.pack_readback)
+        packed = np.asarray(packed)
+        P = eng.PER_FRAME_PACK
+        per = packed[:K * P].reshape(K, P)
+        T_cw_k = per[:, :12].reshape(K, 3, 4)
+        statuses = per[:, 12].astype(np.int32)
+        kf_flag = per[:, 14] > 0.5
+        kf_gid_k = per[:, 16].astype(np.int32)
+        tail = packed[K * P:]
+        W = self.s.max_window
+        self.status = int(tail[0])
+        self._kf_cache = (tail[1:1 + W].astype(np.int32),      # gids
+                          tail[1 + W:1 + 2 * W] > 0.5,          # valid
+                          tail[1 + 2 * W:1 + 2 * W + 12 * W]
+                          .reshape(W, 3, 4))                    # poses
 
         T_wc_k = np.empty_like(T_cw_k)
         for i in range(K):
@@ -185,6 +224,7 @@ class System:
                 self._record_keyframe_at(int(kf_gid_k[i]), timestamps[i],
                                          T_cw_k[i], self.frame_id)
         self._refresh_keyframe_records()
+        self._kf_cache = None
 
         # loop closing for keyframes created inside the chunk
         if self.loopclosing is not None and kf_flag.any():
@@ -272,9 +312,12 @@ class System:
 
     def _refresh_keyframe_records(self):
         """Pull BA-updated poses for keyframes still in the window."""
-        kf_gid = np.asarray(self.map.kf_gid)
-        kf_valid = np.asarray(self.map.kf_valid)
-        kf_pose = np.asarray(self.map.kf_pose)
+        if getattr(self, "_kf_cache", None) is not None:
+            kf_gid, kf_valid, kf_pose = self._kf_cache
+        else:
+            kf_gid = np.asarray(self.map.kf_gid)
+            kf_valid = np.asarray(self.map.kf_valid)
+            kf_pose = np.asarray(self.map.kf_pose)
         by_gid = {int(g): kf_pose[i] for i, g in enumerate(kf_gid) if kf_valid[i]}
         for rec in self.keyframes[-len(by_gid) - 2:]:
             if rec["gid"] in by_gid:

@@ -58,7 +58,7 @@ def save_checkpoint(system, path: str) -> None:
     if system.last_pyr is not None:
         # finest pyramid level = the (padded) last image; the pyramid is
         # rebuilt from it on load so tracking resumes seamlessly
-        arrays["last_img"] = np.asarray(system.last_pyr[0])
+        arrays["last_img"] = np.asarray(system.last_pyr.levels[0])
     np.savez_compressed(path, **arrays)
 
 
