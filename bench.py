@@ -20,7 +20,7 @@ import time
 
 import numpy as np
 
-CHUNK = 8
+CHUNK = 16
 
 
 def main():
@@ -41,7 +41,7 @@ def main():
     s.min_init_landmarks = 150
     s.tracking_good = 120        # KF cadence scaled to the 512 budget
 
-    n_frames = 72
+    n_frames = 80
     # default corridor (walls at +-8 m): enough NEAR structure that stereo
     # init clears min_init_landmarks under the 60x-baseline depth cap
     world = synthetic.SyntheticWorld(seed=4)
@@ -61,22 +61,28 @@ def main():
     compile_s = time.time() - t_first
 
     # steady state: every chunk timed, keyframe/BA work included.
-    # Pipelined I/O: the NEXT chunk's pad+upload is issued right after the
-    # current chunk is handed to the device, so host->device transfer
-    # overlaps compute (device_put is asynchronous) — the role the
-    # reference's synchronous dataset loop leaves on the table and our
-    # native prefetching loader plays for disk input.
+    # Two-stage software pipeline: while the device computes chunk k+1, the
+    # host uploads chunk k+2 and collects/records chunk k (the reference
+    # gets this overlap from its frontend/backend thread split; here the
+    # device-resident state makes dispatch purely asynchronous).
     chunk_times = []
     up = sys_.upload_chunk(L[CHUNK:2 * CHUNK], R[CHUNK:2 * CHUNK])
+    pending = None
     for c in range(CHUNK, n_frames, CHUNK):
         t0 = time.time()
         cur, up = up, None
+        h = sys_.dispatch_chunk(cur[0], cur[1],
+                                [0.1 * (c + j) for j in range(CHUNK)])
         nxt = c + CHUNK
         if nxt < n_frames:
             up = sys_.upload_chunk(L[nxt:nxt + CHUNK], R[nxt:nxt + CHUNK])
-        est.append(sys_.run_chunk(cur[0], cur[1],
-                                  [0.1 * (c + j) for j in range(CHUNK)]))
+        if pending is not None:
+            est.append(sys_.collect_chunk(pending))
+        pending = h
         chunk_times.append(time.time() - t0)
+    t0 = time.time()
+    est.append(sys_.collect_chunk(pending))
+    chunk_times.append(time.time() - t0)
 
     fps = (n_frames - CHUNK) / sum(chunk_times)
     est = np.concatenate(est, axis=0)
