@@ -16,11 +16,12 @@ per chunk. Keyframe/BA work therefore rides INSIDE the measured time
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-CHUNK = 16
+CHUNK = int(os.environ.get("BENCH_CHUNK", "32"))
 
 
 def main():
@@ -41,11 +42,14 @@ def main():
     s.min_init_landmarks = 150
     s.tracking_good = 120        # KF cadence scaled to the 512 budget
 
-    n_frames = 80
+    n_frames = 5 * CHUNK
     # default corridor (walls at +-8 m): enough NEAR structure that stereo
-    # init clears min_init_landmarks under the 60x-baseline depth cap
+    # init clears min_init_landmarks under the 60x-baseline depth cap.
+    # yaw_rate 0: steady-state workload — a nonzero yaw slowly angles the
+    # camera into a wall and the keyframe cadence (hence BA rate) drifts
+    # with sequence length, which made fps depend on n_frames.
     world = synthetic.SyntheticWorld(seed=4)
-    poses = synthetic.straight_trajectory(n_frames, speed=0.6, yaw_rate=0.002)
+    poses = synthetic.straight_trajectory(n_frames, speed=0.6, yaw_rate=0.0)
     L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
                                             B, W, H)
     # camera-native uint8 frames: what a real sensor/KITTI provides, and 4x

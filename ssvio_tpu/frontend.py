@@ -101,6 +101,11 @@ class Frontend:
         # stereo disparities (fx*b/z) are much larger than temporal flow;
         # one extra pyramid level widens the zero-seed basin accordingly
         self.lk_params_stereo = self.lk_params._replace(levels=s.lk_levels + 1)
+        # backward FB-check track: full depth. (A 2-level variant was
+        # measured 2026-08: it drops enough valid tracks on KITTI-scale
+        # flow to trigger 6x more keyframes and worse ATE — the per-level
+        # kernel saving is a false economy.)
+        self.lk_params_back = self.lk_params
         self.rig = camera.StereoRig.from_settings(s)
         fxl = self.rig.intr_left
         self._fx, self._fy = fxl.fx, fxl.fy
@@ -145,7 +150,7 @@ class Frontend:
         # reverse track must find its own way home; seeding it with the
         # origin would bias it into agreeing with mislocks.
         xy_back, ok_b, _ = lk.track(pyr_cur.levels, pyr_last.levels, new_xy,
-                                    new_xy, has_lm & ok, self.lk_params,
+                                    new_xy, has_lm & ok, self.lk_params_back,
                                     compute_err=False, grads_prev=pyr_cur.grads)
         fb = jnp.linalg.norm(xy_back - feat.xy, axis=-1)
         in_real = sampling.in_bounds(new_xy, self.rh, self.rw, border=1.0)

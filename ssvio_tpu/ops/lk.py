@@ -108,13 +108,38 @@ def _sample_window(patches: jnp.ndarray, local_tl: jnp.ndarray, win: int):
 
 def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
                         params: LKParams, interpret: bool):
-    """Pallas-kernel level: precompute patch-coordinate state, launch."""
+    """Pallas-kernel level: VMEM-resident kernel when the level fits
+    (no per-keypoint DMA — see lk_pallas.lk_level_vmem), HBM-patch kernel
+    otherwise."""
     from ssvio_tpu.ops import lk_pallas
 
     win = params.window
     r = win // 2
     margin = params.margin
     h, w = img_cur.shape
+
+    hv = max(-(-h // 8) * 8, 32)
+    wv = max(-(-w // 128) * 128, lk_pallas.LANES)
+    if 4 * hv * wv * 4 <= lk_pallas.VMEM_PLANE_BUDGET:
+        if (hv, wv) != (h, w):
+            pad = ((0, hv - h), (0, wv - w))
+            img_prev_p = jnp.pad(img_prev, pad)
+            img_cur_p = jnp.pad(img_cur, pad)
+            gx_p = jnp.pad(gx, pad)
+            gy_p = jnp.pad(gy, pad)
+        else:
+            img_prev_p, img_cur_p, gx_p, gy_p = img_prev, img_cur, gx, gy
+        frozen0 = (~sampling.in_bounds(pts_guess, h, w, border=r + 1)) \
+            .astype(jnp.int32)[:, None]
+        pts_out, flag = lk_pallas.lk_level_vmem(
+            img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess, frozen0,
+            win=win, iters=params.iters, eps=params.eps,
+            min_eig=params.min_eig, interpret=interpret)
+        ok = (flag[:, 0] > 0) & sampling.in_bounds(pts_out, h, w, border=1.0) \
+            & sampling.in_bounds(pts_prev, img_prev.shape[0],
+                                 img_prev.shape[1], border=1.0)
+        return pts_out, ok
+
     LANES = lk_pallas.LANES
     rup8 = lambda v: -(-v // 8) * 8
     # patch footprints: +7 rows of slack so 8-aligned row origins still

@@ -181,6 +181,155 @@ def _make_kernel(win: int, pty: int, pcy: int, iters: int, eps: float,
     return kernel
 
 
+def _make_vmem_kernel(win: int, H: int, W: int, iters: int, eps: float,
+                      min_eig: float, kp: int):
+    """Kernel with the WHOLE level resident in VMEM (see lk_level_vmem)."""
+
+    def img_window(ref, bx_i, by_i):
+        """[win+1, win+1] window at dynamic global integer (bx, by).
+
+        Both offsets are reduced to a tile-aligned slab origin (lanes: 128,
+        sublanes: 8) + power-of-2 rotates, exactly as the HBM-patch kernel
+        does — but the load comes straight from the VMEM-resident image, so
+        there is NO per-keypoint DMA."""
+        base_y = jnp.minimum((by_i // 8) * 8, H - 32)
+        base_y = pl.multiple_of(base_y, 8)
+        base_x = jnp.minimum((bx_i // 128) * 128, W - LANES)
+        base_x = pl.multiple_of(base_x, 128)
+        slab = ref[pl.ds(base_y, 32), pl.ds(base_x, LANES)]
+        slab = pltpu.roll(slab, -(by_i - base_y), axis=0)
+        rolled = pltpu.roll(slab[:win + 1, :], -(bx_i - base_x), axis=1)
+        return rolled[:, :win + 1]
+
+    lim_x = float(W - win - 2)       # python floats: the kernel must not
+    lim_y = float(H - win - 2)       # close over traced constants
+
+    def kernel(ptsT_ref, pts0_ref, frozen0_ref,       # scalar prefetch (SMEM)
+               prev_ref, gx_ref, gy_ref, cur_ref,     # whole level in VMEM
+               out_ref, flag_ref):                    # SMEM flat [2N], [N]
+        pid = pl.program_id(0)
+        r = win // 2
+        for b in range(kp):
+            i = pid * kp + b
+            # --- template + gradient windows at the prev position
+            tx = ptsT_ref[2 * i] - r
+            ty = ptsT_ref[2 * i + 1] - r
+            btx = jnp.clip(jnp.floor(tx), 0.0, lim_x)
+            bty = jnp.clip(jnp.floor(ty), 0.0, lim_y)
+            ftx = tx - btx
+            fty = ty - bty
+            btx_i = btx.astype(jnp.int32)
+            bty_i = bty.astype(jnp.int32)
+            T = _blend(img_window(prev_ref, btx_i, bty_i), ftx, fty, win)
+            Gx = _blend(img_window(gx_ref, btx_i, bty_i), ftx, fty, win)
+            Gy = _blend(img_window(gy_ref, btx_i, bty_i), ftx, fty, win)
+
+            gxx = jnp.sum(Gx * Gx)
+            gxy = jnp.sum(Gx * Gy)
+            gyy = jnp.sum(Gy * Gy)
+            det = gxx * gyy - gxy * gxy
+            trace = gxx + gyy
+            me = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det,
+                                               0.0))) * 0.5
+            good_g = (me / (win * win)) > min_eig
+            inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+
+            def cond(carry):
+                it, lx, ly, frozen = carry
+                return (it < iters) & jnp.logical_not(frozen)
+
+            def body(carry, T=T, Gx=Gx, Gy=Gy, gxx=gxx, gxy=gxy, gyy=gyy,
+                     inv_det=inv_det):
+                it, lx, ly, frozen = carry
+                # window top-left (global) of the current estimate
+                bx = jnp.clip(jnp.floor(lx), 0.0, lim_x)
+                by = jnp.clip(jnp.floor(ly), 0.0, lim_y)
+                fx = lx - bx
+                fy = ly - by
+                sub = img_window(cur_ref, bx.astype(jnp.int32),
+                                 by.astype(jnp.int32))
+                I = _blend(sub, fx, fy, win)
+                diff = T - I
+                bxs = jnp.sum(diff * Gx)
+                bys = jnp.sum(diff * Gy)
+                dx = (gyy * bxs - gxy * bys) * inv_det
+                dy = (gxx * bys - gxy * bxs) * inv_det
+                nlx = lx + dx
+                nly = ly + dy
+                converged = dx * dx + dy * dy < eps * eps
+                oob = (nlx < 0.0) | (nly < 0.0) | (nlx > lim_x) | (nly > lim_y)
+                return it + 1, nlx, nly, converged | oob
+
+            lx0 = pts0_ref[2 * i] - r
+            ly0 = pts0_ref[2 * i + 1] - r
+            frozen0 = frozen0_ref[i] > 0
+            oob0 = (lx0 < 0.0) | (ly0 < 0.0) | (lx0 > lim_x) | (ly0 > lim_y)
+            _, lx, ly, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), lx0, ly0,
+                 frozen0 | oob0 | jnp.logical_not(good_g)))
+            out_ref[2 * i] = lx + r
+            out_ref[2 * i + 1] = ly + r
+            flag_ref[i] = good_g.astype(jnp.int32)
+
+    return kernel
+
+
+# VMEM budget for the 4 resident planes (v5e has ~16 MiB more generally
+# shared with scratch; leave headroom for the compiler)
+VMEM_PLANE_BUDGET = 12 << 20
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "eps",
+                                             "min_eig", "interpret"))
+def lk_level_vmem(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
+                  img_cur: jnp.ndarray, pts_prev: jnp.ndarray,
+                  pts_guess: jnp.ndarray, frozen0: jnp.ndarray,
+                  win: int, iters: int, eps: float, min_eig: float,
+                  interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """KLT level with the whole level VMEM-resident (no per-keypoint DMA).
+
+    The HBM-patch kernel (lk_level_pallas) issues 4 patch DMAs per keypoint
+    — ~2000 DMAs per 512-keypoint call, which dominates its runtime
+    (measured: iters=1 costs 58% of iters=30). At KITTI resolution all four
+    planes fit in VMEM, so this kernel reads tile-aligned slabs straight
+    from the image instead. Inputs must be padded: H % 8 == 0, H >= 32,
+    W % 128 == 0, W >= 256 (the wrapper in ops/lk.py guarantees it).
+
+    pts_prev/pts_guess: [N, 2] global (x, y) in this level's coordinates.
+    Returns (pts_out [N, 2] global, good_flag [N, 1] int32).
+    """
+    n = pts_prev.shape[0]
+    H, W = img_cur.shape
+    assert H % 8 == 0 and H >= 32 and W % 128 == 0 and W >= LANES
+    kp = min(KP_PER_PROG, n)
+    n_pad = -(-n // kp) * kp
+    if n_pad != n:
+        d = n_pad - n
+        pts_prev = jnp.concatenate([pts_prev, jnp.zeros((d, 2), jnp.float32)])
+        pts_guess = jnp.concatenate([pts_guess, jnp.zeros((d, 2), jnp.float32)])
+        frozen0 = jnp.concatenate([frozen0, jnp.ones((d, 1), jnp.int32)])
+    kernel = _make_vmem_kernel(win, H, W, iters, eps, min_eig, kp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pad // kp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+    )
+    out, flag = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2 * n_pad,), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad,), jnp.int32)],
+        interpret=interpret,
+    )(pts_prev.reshape(-1), pts_guess.reshape(-1), frozen0.reshape(-1),
+      img_prev, gx, gy, img_cur)
+    return out[: 2 * n].reshape(n, 2), flag[:n].reshape(n, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("win", "pty", "pcy", "iters",
                                              "eps", "min_eig", "interpret"))
 def lk_level_pallas(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
