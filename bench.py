@@ -48,14 +48,30 @@ def main():
     # yaw_rate 0: steady-state workload — a nonzero yaw slowly angles the
     # camera into a wall and the keyframe cadence (hence BA rate) drifts
     # with sequence length, which made fps depend on n_frames.
-    world = synthetic.SyntheticWorld(seed=4)
     poses = synthetic.straight_trajectory(n_frames, speed=0.6, yaw_rate=0.0)
-    L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
-                                            B, W, H)
-    # camera-native uint8 frames: what a real sensor/KITTI provides, and 4x
-    # fewer bytes over the host->device link (engine promotes on device)
-    L = [np.clip(im, 0, 255).astype(np.uint8) for im in L]
-    R = [np.clip(im, 0, 255).astype(np.uint8) for im in R]
+    # the KITTI-resolution raycast costs ~3.4 s/stereo pair on this host
+    # (~9 min for 160 frames) — cache the rendered uint8 frames on disk so
+    # only the first bench invocation on a machine pays it
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "ssvio_tpu")
+    cache = os.path.join(cache_dir,
+                         f"bench_seed4_n{n_frames}_{W}x{H}_v1.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        L = list(z["L"])
+        R = list(z["R"])
+    else:
+        world = synthetic.SyntheticWorld(seed=4)
+        L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
+                                                B, W, H)
+        # camera-native uint8 frames: what a real sensor/KITTI provides, and
+        # 4x fewer bytes over the host->device link (engine promotes to f32
+        # on device)
+        L = [np.clip(im, 0, 255).astype(np.uint8) for im in L]
+        R = [np.clip(im, 0, 255).astype(np.uint8) for im in R]
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = cache + ".tmp.npz"
+        np.savez_compressed(tmp, L=np.stack(L), R=np.stack(R))
+        os.replace(tmp, cache)
 
     sys_ = System(s, enable_backend=True, enable_loop_closing=False)
     # warmup chunk: compiles the whole scan program (init+track+KF branches)

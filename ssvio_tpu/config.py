@@ -83,6 +83,11 @@ class Settings:
     loop_min_age: int = 20              # candidate must be >= this many KFs old
     # (reference loopclosing.cpp:84-90)
     loop_min_gap: int = 5               # KFs between closures (:657-669)
+    # LOST-state relocalization against the keyframe database — a capability
+    # EXTENSION: the reference detects LOST but recovery is an empty TODO
+    # (reference frontend.cpp:62-66); set False for dead-end parity
+    relocalization_open: bool = True
+    reloc_min_inliers: int = 10         # PnP inlier gate for a reloc fix
 
     # --- output ---
     trajectory_save_path: Optional[str] = None

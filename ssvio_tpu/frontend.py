@@ -116,9 +116,14 @@ class Frontend:
         self.keyframe_step = jax.jit(self._keyframe_step,
                                      static_argnames=("min_new_landmarks",))
         self.build_pyramid = jax.jit(self._build_pyramid)
+        # standalone detection on a bare frame (relocalization entry: a LOST
+        # frame has no surviving feature state to merge with)
+        self.detect_features = jax.jit(
+            lambda img: self._detect_merge(img, empty_feat_state(self.n_feat))[0])
 
     # ------------------------------------------------------------------
     def _build_pyramid(self, img: jnp.ndarray) -> Pyr:
+        img = img.astype(jnp.float32)   # camera-native u8 frames promote here
         levels = pyramid.build_lk_pyramid(img, self.s.lk_levels + 1)
         grads = [pyramid.sobel_gradients(l) for l in levels]
         return Pyr(levels=tuple(levels),

@@ -127,9 +127,17 @@ class LoopClosing:
     # ------------------------------------------------------------------
     # matching (reference MatchFeatures :105-145)
     # ------------------------------------------------------------------
-    def _match_impl(self, desc_cur, val_cur, desc_loop, val_loop):
+    def _match_impl(self, desc_cur, val_cur, desc_loop, val_loop,
+                    max_dist=jnp.int32(0)):
         """Multi-scale BF-Hamming: distance matrix over [F*S] rows reduced
         to per-feature [F, F], then best-match + mutual + threshold gates.
+
+        max_dist == 0 selects the reference's adaptive loop-matching gate
+        `max(2*min_d, 30)` (loopclosing.cpp:122); a positive value is a
+        fixed Hamming cutoff — relocalization uses 64, because its query
+        keypoints are FRESH detections a few pixels off the stored tracked
+        positions (measured median Hamming ~50 for true correspondences),
+        and PnP-RANSAC downstream prunes the extra false positives.
         Returns (best_j [F], dist [F], ok [F])."""
         F, S = self.F, self.S
         d = orb.hamming_distance(desc_cur[:, None, :], desc_loop[None, :, :])
@@ -140,7 +148,8 @@ class LoopClosing:
         best_j = jnp.argmin(d, axis=1).astype(jnp.int32)
         best = jnp.min(d, axis=1)
         min_d = jnp.min(best)
-        thresh = jnp.maximum(2 * min_d, 30)
+        thresh = jnp.where(max_dist > 0, max_dist,
+                           jnp.maximum(2 * min_d, 30))
         back = jnp.argmin(d, axis=0).astype(jnp.int32)
         mutual = back[best_j] == jnp.arange(F, dtype=jnp.int32)
         ok = (best <= thresh) & (best < big) & mutual
@@ -268,6 +277,50 @@ class LoopClosing:
         self._pose_graph_optimize(system)
         return self._log(kf_gid, loop_gid, best_score, n_matches, n_inliers,
                          err, True)
+
+    # ------------------------------------------------------------------
+    def relocalize(self, pyr_l, xy: jnp.ndarray, valid: jnp.ndarray):
+        """Global relocalization of a LOST frame against the KF database.
+
+        Capability EXTENSION: the reference detects LOST but leaves recovery
+        as an empty TODO (reference frontend.cpp:62-66). Reuses the loop
+        machinery — BoW scoring over the WHOLE database (no age/gap gates:
+        any stored keyframe is a valid anchor), BF-Hamming matching against
+        the best candidate's landmark snapshot, PnP-RANSAC. The score gate
+        is `Loop.Threshold.Lower` (the reference loads this key but never
+        reads it, loopclosing.hpp:88 — relocalization is a natural job for
+        the looser threshold).
+
+        Args: current-frame pyramid + freshly detected keypoints [F, 2] and
+        their validity. Returns (T_cw [3,4] jnp, n_inliers) or None.
+        """
+        s = self.s
+        if self.vocab is None or self.n == 0:
+            return None
+        if hasattr(pyr_l, "levels"):
+            pyr_l = pyr_l.levels
+        desc, dval = self._describe(pyr_l, xy, valid)
+        v = bow.transform(self.vocab, desc, dval, s.vocab_levels)
+        row_ok = jnp.asarray(self.db_gid[:self.cap] >= 0)
+        scores = bow.score_l1_database(v, self.bow_db, row_ok)
+        best_row = int(jnp.argmax(scores))
+        if float(scores[best_row]) < s.loop_threshold_lower:
+            return None
+        best_j, _, ok = self._match(desc, dval, self.desc_db[best_row],
+                                    self.desc_valid[best_row],
+                                    jnp.int32(64))
+        ok = np.asarray(ok) & np.asarray(self.lm_has[best_row])[np.asarray(best_j)]
+        if int(ok.sum()) < s.reloc_min_inliers:
+            return None
+        p_w = self.lm_pos[best_row][jnp.asarray(best_j)]
+        self._rng_key, sub = jax.random.split(self._rng_key)
+        res = pnp.pnp_ransac(p_w, xy, jnp.asarray(ok),
+                             self._fx, self._fy, self._cx, self._cy, sub,
+                             n_hypotheses=128, reproj_threshold=5.991,
+                             min_inliers=s.reloc_min_inliers)
+        if not bool(res.ok):
+            return None
+        return res.T_cw, int(res.n_inliers)
 
     # ------------------------------------------------------------------
     def _log(self, *args) -> LoopEvent:

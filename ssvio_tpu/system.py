@@ -161,8 +161,14 @@ class System:
             else:
                 # reference marks LOST and dead-ends (frontend.cpp:62-66 TODO)
                 self.status = fe.LOST
-        # LOST: reference does nothing further; parity (relocalization is a
-        # capability extension tracked for the loop-closing module).
+        elif self.status == fe.LOST:
+            # capability EXTENSION: the reference dead-ends on LOST (its
+            # recovery is an empty TODO, frontend.cpp:62-66). We relocalize
+            # against the loop-closing keyframe database and re-seed the
+            # feature set with a keyframe at the recovered pose. Disable via
+            # Settings.relocalization_open for dead-end parity.
+            if self.loopclosing is not None and self.s.relocalization_open:
+                self._try_relocalize(pyr_l, right, timestamp)
 
         self.last_pyr = pyr_l
         T_wc = np.asarray(se3.inverse(self.T_cw))
@@ -237,14 +243,14 @@ class System:
         self.rel_motion = carry.rel_motion
         self.map = carry.m
         self._status_dev = carry.status
-        return (packed, outs, imgs_l, list(timestamps), K)
+        return (packed, outs, imgs_l, imgs_r, list(timestamps), K)
 
     def collect_chunk(self, handle) -> np.ndarray:
         """Fetch + record the results of a dispatch_chunk handle. Returns
         T_wc [K, 3, 4]."""
         from ssvio_tpu import engine as eng
 
-        packed, outs, imgs_l, timestamps, K = handle
+        packed, outs, imgs_l, imgs_r, timestamps, K = handle
         # ONE device->host fetch for the whole chunk (see engine.pack_readback)
         packed = np.asarray(packed)
         P = eng.PER_FRAME_PACK
@@ -294,6 +300,16 @@ class System:
                 self._lc_T_ref = None
                 if ev is not None and ev.corrected:
                     self.stats["n_loops"] += 1
+
+        # LOST at the chunk boundary: attempt relocalization on the chunk's
+        # last frame (the in-chunk scan dead-ends on LOST for determinism;
+        # recovery is a between-chunk host decision, like loop correction)
+        if (self._status == fe.LOST and self.loopclosing is not None
+                and self.s.relocalization_open):
+            pyr_last = self.frontend.build_pyramid(imgs_l[K - 1])
+            if self._try_relocalize(pyr_last, np.asarray(imgs_r[K - 1]),
+                                    timestamps[K - 1]):
+                self.last_pyr = pyr_last
         return T_wc_k
 
     def _record_keyframe_at(self, kf_gid: int, timestamp: float,
@@ -328,6 +344,42 @@ class System:
                     self, int(kf_gid), pyr_l, self.feat, self.map, self.T_cw)
         # else: stay INITING and retry next frame (map object unchanged —
         # keyframe_step returned a new value we simply drop)
+
+    # ------------------------------------------------------------------
+    def _try_relocalize(self, pyr_l, right, timestamp) -> bool:
+        """Relocalize a LOST frame: PnP fix against the keyframe database,
+        then re-seed tracking by inserting a keyframe at the recovered pose
+        (fresh detection + stereo triangulation — the same machinery as
+        stereo init, but anchored at the PnP pose instead of identity)."""
+        det = self.frontend.detect_features(pyr_l.levels[0])
+        fix = self.loopclosing.relocalize(pyr_l, det.xy, det.valid)
+        if fix is None:
+            return False
+        T_reloc, n_inl = fix
+        pyr_r = self.frontend.build_pyramid(
+            self._pad(np.asarray(right, np.float32)))
+        feat, m, kf_slot, kf_gid, n_created = self.frontend.keyframe_step(
+            pyr_l, pyr_r, fe.empty_feat_state(self.s.max_features),
+            T_reloc, self.map)
+        if int(n_created) < self.s.min_init_landmarks:
+            return False            # not enough structure to resume; stay LOST
+        self.feat = feat
+        self.map = m
+        self.T_cw = jnp.asarray(T_reloc)
+        self.rel_motion = se3.identity()
+        self.status = fe.TRACKING_GOOD
+        self.stats["n_relocalizations"] = self.stats.get("n_relocalizations", 0) + 1
+        self._record_keyframe(int(kf_gid), timestamp)
+        if self.enable_backend:
+            prob = mapmod.ba_problem_from_map(self.map)
+            res = self._local_ba(prob)
+            self.map = mapmod.apply_ba_result(self.map, res.kf_T_cw,
+                                              res.lm_pos, res.obs_valid)
+            self.T_cw = self.map.kf_pose[int(kf_slot)]
+            self._refresh_keyframe_records()
+        self.loopclosing.process_keyframe(self, int(kf_gid), pyr_l, self.feat,
+                                          self.map, self.T_cw)
+        return True
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, pyr_l, pyr_r, timestamp):
