@@ -27,6 +27,13 @@ CHUNK = int(os.environ.get("BENCH_CHUNK", "32"))
 def main():
     import jax
 
+    # persistent compile cache: the chunk program takes 1-6 min to compile
+    # on the remote compile service; cache it across bench invocations
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.expanduser("~"), ".cache",
+                                   "jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from ssvio_tpu.config import Settings
     from ssvio_tpu.dataio import synthetic
     from ssvio_tpu.eval import ate
@@ -42,38 +49,57 @@ def main():
     s.min_init_landmarks = 150
     s.tracking_good = 120        # KF cadence scaled to the 512 budget
 
-    n_frames = 5 * CHUNK
+    n_frames = int(os.environ.get("BENCH_FRAMES", 10 * CHUNK))
+    n_frames -= n_frames % CHUNK
     # default corridor (walls at +-8 m): enough NEAR structure that stereo
     # init clears min_init_landmarks under the 60x-baseline depth cap.
     # yaw_rate 0: steady-state workload — a nonzero yaw slowly angles the
     # camera into a wall and the keyframe cadence (hence BA rate) drifts
     # with sequence length, which made fps depend on n_frames.
     poses = synthetic.straight_trajectory(n_frames, speed=0.6, yaw_rate=0.0)
-    # the KITTI-resolution raycast costs ~3.4 s/stereo pair on this host
-    # (~9 min for 160 frames) — cache the rendered uint8 frames on disk so
-    # only the first bench invocation on a machine pays it
+    # the KITTI-resolution raycast costs ~3.4 s/stereo pair on this host —
+    # cache the rendered uint8 frames on disk so only the first bench
+    # invocation on a machine pays it. A shorter cached prefix of the same
+    # (deterministic, straight) trajectory is reused and only the missing
+    # tail is rendered.
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "ssvio_tpu")
     cache = os.path.join(cache_dir,
                          f"bench_seed4_n{n_frames}_{W}x{H}_v1.npz")
+    L, R = [], []
     if os.path.exists(cache):
         z = np.load(cache)
         L = list(z["L"])
         R = list(z["R"])
     else:
+        import glob
+        import re
+        for prior in sorted(glob.glob(os.path.join(
+                cache_dir, f"bench_seed4_n*_{W}x{H}_v1.npz"))):
+            n_prior = int(re.search(r"_n(\d+)_", prior).group(1))
+            if n_prior <= n_frames:
+                z = np.load(prior)
+                L = list(z["L"])
+                R = list(z["R"])
+                break
+    if len(L) < n_frames:
         world = synthetic.SyntheticWorld(seed=4)
-        L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
-                                                B, W, H)
+        Lt, Rt = synthetic.render_stereo_sequence(
+            world, poses[len(L):], FX, FY, CX, CY, B, W, H)
         # camera-native uint8 frames: what a real sensor/KITTI provides, and
         # 4x fewer bytes over the host->device link (engine promotes to f32
         # on device)
-        L = [np.clip(im, 0, 255).astype(np.uint8) for im in L]
-        R = [np.clip(im, 0, 255).astype(np.uint8) for im in R]
+        L += [np.clip(im, 0, 255).astype(np.uint8) for im in Lt]
+        R += [np.clip(im, 0, 255).astype(np.uint8) for im in Rt]
         os.makedirs(cache_dir, exist_ok=True)
         tmp = cache + ".tmp.npz"
         np.savez_compressed(tmp, L=np.stack(L), R=np.stack(R))
         os.replace(tmp, cache)
 
     sys_ = System(s, enable_backend=True, enable_loop_closing=False)
+    # start uploading chunk 1 behind the warmup's compile+compute so the
+    # timed loop starts with a full pipeline
+    pf = sys_.prefetcher()
+    pf.submit(L[CHUNK:2 * CHUNK], R[CHUNK:2 * CHUNK])
     # warmup chunk: compiles the whole scan program (init+track+KF branches)
     t_first = time.time()
     est = [sys_.run_chunk(L[:CHUNK], R[:CHUNK],
@@ -81,21 +107,21 @@ def main():
     compile_s = time.time() - t_first
 
     # steady state: every chunk timed, keyframe/BA work included.
-    # Two-stage software pipeline: while the device computes chunk k+1, the
-    # host uploads chunk k+2 and collects/records chunk k (the reference
-    # gets this overlap from its frontend/backend thread split; here the
-    # device-resident state makes dispatch purely asynchronous).
+    # Three-way overlap: the device computes chunk k while the prefetcher
+    # thread pads+uploads chunk k+1 (H2D transfers overlap compute on this
+    # link but block the issuing host thread — see System.prefetcher) and
+    # the main thread collects/records chunk k-1 (the reference gets this
+    # overlap from its frontend/backend thread split).
     chunk_times = []
-    up = sys_.upload_chunk(L[CHUNK:2 * CHUNK], R[CHUNK:2 * CHUNK])
     pending = None
     for c in range(CHUNK, n_frames, CHUNK):
         t0 = time.time()
-        cur, up = up, None
+        cur = pf.get()
         h = sys_.dispatch_chunk(cur[0], cur[1],
                                 [0.1 * (c + j) for j in range(CHUNK)])
         nxt = c + CHUNK
         if nxt < n_frames:
-            up = sys_.upload_chunk(L[nxt:nxt + CHUNK], R[nxt:nxt + CHUNK])
+            pf.submit(L[nxt:nxt + CHUNK], R[nxt:nxt + CHUNK])
         if pending is not None:
             est.append(sys_.collect_chunk(pending))
         pending = h
@@ -103,6 +129,7 @@ def main():
     t0 = time.time()
     est.append(sys_.collect_chunk(pending))
     chunk_times.append(time.time() - t0)
+    pf.close()
 
     fps = (n_frames - CHUNK) / sum(chunk_times)
     est = np.concatenate(est, axis=0)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _EPS = 1e-8
 
@@ -136,6 +137,32 @@ def inverse(T: jnp.ndarray) -> jnp.ndarray:
 def transform(T: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Apply pose to points. T [...,3,4], p [...,3] -> [...,3]."""
     return jnp.einsum("...ij,...j->...i", rotation(T), p) + translation(T)
+
+
+# ----------------------------------------------------------------------
+# Host-side (NumPy) variants for bookkeeping on small per-keyframe records.
+# A device round trip on this link costs ~29 ms, so composing two 3x4
+# matrices through jnp in a host loop is ~1000x slower than doing it here.
+# ----------------------------------------------------------------------
+
+def compose_np(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """A @ B as SE3 on host numpy arrays ([..., 3, 4])."""
+    A = np.asarray(A)
+    B = np.asarray(B)
+    out = np.empty(np.broadcast_shapes(A.shape, B.shape), A.dtype)
+    out[..., :3] = A[..., :3] @ B[..., :3]
+    out[..., 3] = np.einsum("...ij,...j->...i", A[..., :3], B[..., 3]) + A[..., 3]
+    return out
+
+
+def inverse_np(T: np.ndarray) -> np.ndarray:
+    """SE3 inverse on host numpy arrays ([..., 3, 4])."""
+    T = np.asarray(T)
+    Rt = np.swapaxes(T[..., :3], -1, -2)
+    out = np.empty_like(T)
+    out[..., :3] = Rt
+    out[..., 3] = -np.einsum("...ij,...j->...i", Rt, T[..., 3])
+    return out
 
 
 def _so3_left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:

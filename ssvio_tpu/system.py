@@ -184,6 +184,22 @@ class System:
         separate dataset thread)."""
         return self._pad_stack(lefts), self._pad_stack(rights)
 
+    def prefetcher(self, depth: int = 2) -> "ChunkPrefetcher":
+        """Background-thread chunk uploader. Host->device transfers on this
+        link fully overlap device compute but BLOCK the issuing host thread
+        (~200 ms for a 32-frame stereo chunk), so the driving loop must not
+        issue them inline — measured 39 fps inline vs compute-bound with
+        the prefetcher. Usage:
+
+            pf = system.prefetcher()
+            pf.submit(L0, R0); pf.submit(L1, R1)
+            while ...:
+                h = system.dispatch_chunk(*pf.get())
+                pf.submit(Lk, Rk)            # upload rides behind compute
+                out = system.collect_chunk(prev); prev = h
+        """
+        return ChunkPrefetcher(self, depth)
+
     def run_chunk(self, lefts, rights, timestamps=None) -> np.ndarray:
         """Process K stereo pairs in ONE device dispatch (lax.scan over the
         full per-frame step — see ssvio_tpu/engine.py). Returns T_wc
@@ -321,8 +337,7 @@ class System:
                                "T_cw": np.asarray(T_cw)})
         if len(self.keyframes) > 1:
             prev = self.keyframes[-2]
-            Z = np.asarray(se3.compose(jnp.asarray(T_cw),
-                                       se3.inverse(jnp.asarray(prev["T_cw"]))))
+            Z = se3.compose_np(T_cw, se3.inverse_np(prev["T_cw"]))
             self.kf_rel_edges.append((prev["gid"], kf_gid, Z))
         self.stats["n_keyframes"] += 1
 
@@ -409,8 +424,7 @@ class System:
                                "timestamp": timestamp, "T_cw": T_cw_np})
         if len(self.keyframes) > 1:
             prev = self.keyframes[-2]
-            Z = np.asarray(se3.compose(jnp.asarray(T_cw_np),
-                                       se3.inverse(jnp.asarray(prev["T_cw"]))))
+            Z = se3.compose_np(T_cw_np, se3.inverse_np(prev["T_cw"]))
             self.kf_rel_edges.append((prev["gid"], kf_gid, Z))
         self.stats["n_keyframes"] += 1
 
@@ -472,8 +486,8 @@ class System:
         """(timestamps [K], poses T_wc [K,3,4]) for TUM export (the
         reference exports keyframe poses, pangolin_window_impl.cpp:362-395)."""
         ts = np.array([k["timestamp"] for k in self.keyframes])
-        poses = np.stack([np.asarray(se3.inverse(jnp.asarray(k["T_cw"])))
-                          for k in self.keyframes]) if self.keyframes else np.zeros((0, 3, 4))
+        poses = np.stack([se3.inverse_np(k["T_cw"]) for k in self.keyframes]) \
+            if self.keyframes else np.zeros((0, 3, 4))
         return ts, poses
 
     def frame_trajectory(self):
@@ -487,3 +501,36 @@ class System:
         ts, poses = (self.keyframe_trajectory() if keyframes_only
                      else self.frame_trajectory())
         tum.save_tum(path, ts, poses)
+
+
+class ChunkPrefetcher:
+    """One worker thread that pads + uploads chunks ahead of the compute
+    loop (see System.prefetcher). FIFO: get() returns uploads in submit
+    order. The worker calls block_until_ready so a returned chunk is
+    fully resident on device — dispatching it never stalls on the wire."""
+
+    def __init__(self, system: System, depth: int = 2):
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+        self._sys = system
+        self._ex = ThreadPoolExecutor(max_workers=1)
+        self._q = collections.deque()
+        self.depth = depth
+
+    def _upload(self, lefts, rights):
+        arrs = self._sys.upload_chunk(lefts, rights)
+        jax.block_until_ready(arrs)
+        return arrs
+
+    def submit(self, lefts, rights):
+        self._q.append(self._ex.submit(self._upload, lefts, rights))
+
+    def get(self):
+        """Device arrays (imgs_l, imgs_r) of the oldest submitted chunk."""
+        return self._q.popleft().result()
+
+    def __len__(self):
+        return len(self._q)
+
+    def close(self):
+        self._ex.shutdown(wait=False)
