@@ -2,7 +2,10 @@
 count scaling, and per-level cost on bench-like imagery."""
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

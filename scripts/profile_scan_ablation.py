@@ -4,7 +4,10 @@ timing avoids the ~10-20 ms per-dispatch tunnel overhead that poisons
 isolated microbenchmarks (see profile_stages.py)."""
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
