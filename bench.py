@@ -51,6 +51,8 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", 10 * CHUNK))
     n_frames -= n_frames % CHUNK
+    # need at least a warmup chunk plus one timed chunk
+    n_frames = max(n_frames, 2 * CHUNK)
     # default corridor (walls at +-8 m): enough NEAR structure that stereo
     # init clears min_init_landmarks under the 60x-baseline depth cap.
     # yaw_rate 0: steady-state workload — a nonzero yaw slowly angles the
@@ -73,14 +75,19 @@ def main():
     else:
         import glob
         import re
-        for prior in sorted(glob.glob(os.path.join(
-                cache_dir, f"bench_seed4_n*_{W}x{H}_v1.npz"))):
-            n_prior = int(re.search(r"_n(\d+)_", prior).group(1))
-            if n_prior <= n_frames:
-                z = np.load(prior)
-                L = list(z["L"])
-                R = list(z["R"])
-                break
+        # reuse the longest existing cache of the same deterministic
+        # trajectory: a shorter one is a prefix, a longer one is sliced
+        cands = []
+        for prior in glob.glob(os.path.join(
+                cache_dir, f"bench_seed4_n*_{W}x{H}_v1.npz")):
+            m = re.search(r"_n(\d+)_", prior)
+            if m:
+                cands.append((int(m.group(1)), prior))
+        if cands:
+            _, best = max(cands)
+            z = np.load(best)
+            L = list(z["L"][:n_frames])
+            R = list(z["R"][:n_frames])
     if len(L) < n_frames:
         world = synthetic.SyntheticWorld(seed=4)
         Lt, Rt = synthetic.render_stereo_sequence(

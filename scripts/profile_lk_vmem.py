@@ -42,10 +42,6 @@ def main():
     pad1 = np.zeros((H, W), np.float32); pad1[:376, :1241] = img1
 
     N = 512
-    for lvl in range(4):
-        h, w = H >> lvl, W >> lvl
-        a = jnp.asarray(pad0[:h * (2 ** lvl):2 ** lvl or 1]) if False else None
-        # build pyramids properly
     pyr0 = [np.asarray(x) for x in pyramid.build_lk_pyramid(jnp.asarray(pad0), 4)]
     pyr1 = [np.asarray(x) for x in pyramid.build_lk_pyramid(jnp.asarray(pad1), 4)]
 

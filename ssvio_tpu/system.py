@@ -523,6 +523,13 @@ class ChunkPrefetcher:
         return arrs
 
     def submit(self, lefts, rights):
+        if len(self._q) >= self.depth:
+            raise RuntimeError(
+                f"ChunkPrefetcher depth={self.depth} exceeded: {len(self._q)} "
+                "chunks already in flight. Each submitted chunk is pinned in "
+                "device HBM until get() — call get() before submitting more.")
+        if not lefts:
+            raise ValueError("submit() called with an empty chunk")
         self._q.append(self._ex.submit(self._upload, lefts, rights))
 
     def get(self):
@@ -533,4 +540,9 @@ class ChunkPrefetcher:
         return len(self._q)
 
     def close(self):
-        self._ex.shutdown(wait=False)
+        """Shut down the worker; re-raise any swallowed upload exception so
+        a failed prefetch never vanishes silently."""
+        pending, self._q = list(self._q), type(self._q)()
+        self._ex.shutdown(wait=True)
+        for fut in pending:
+            fut.result()

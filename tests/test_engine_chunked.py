@@ -84,3 +84,30 @@ def test_chunked_with_loop_closing_smoke(seq):
     for c in range(0, 24, 6):
         sys_.run_chunk(L[c:c + 6], R[c:c + 6])
     assert sys_.stats["n_keyframes"] >= 1
+
+
+def test_prefetcher_contract(seq):
+    """ChunkPrefetcher enforces its depth bound (each in-flight chunk is
+    pinned in device HBM), rejects empty chunks, and surfaces worker
+    exceptions at close() instead of swallowing them."""
+    s, poses, L, R = seq
+    sys_ = System(s, enable_backend=True, enable_loop_closing=False)
+    pf = sys_.prefetcher(depth=2)
+    pf.submit(L[:4], R[:4])
+    pf.submit(L[4:8], R[4:8])
+    with pytest.raises(RuntimeError, match="depth"):
+        pf.submit(L[8:12], R[8:12])
+    a = pf.get()
+    b = pf.get()
+    assert a[0].shape == b[0].shape and a[0].ndim == 3
+    with pytest.raises(ValueError, match="empty"):
+        pf.submit([], [])
+    pf.close()
+
+    # a worker-side failure (image larger than the engine canvas) must
+    # surface at close() even if get() is never called
+    pf2 = sys_.prefetcher(depth=2)
+    big = np.zeros((s.image_height * 4, s.image_width * 4), np.uint8)
+    pf2.submit([big], [big])
+    with pytest.raises(Exception):
+        pf2.close()
