@@ -1,0 +1,92 @@
+"""Scaling-efficiency report for distributed local BA (BASELINE config 5).
+
+Runs the landmark-sharded BA step on 1/2/4/8-device meshes and reports the
+wall-clock per LM solve plus scaling efficiency vs the 1-device run. On
+this machine the mesh is 8 virtual CPU devices (no multi-chip hardware is
+reachable); the communication pattern (psum of the O(W^2) pose system per
+iteration) is identical to what rides ICI on a real slice, so this
+validates the sharding and measures the compute/communication split, not
+real ICI bandwidth.
+
+Usage: python scripts/profile_scaling.py [M_landmarks]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+from ssvio_tpu.ops import ba
+from ssvio_tpu.parallel import dist_ba
+
+
+def build_problem(M, W=12, seed=0):
+    rng = np.random.default_rng(seed)
+    fx = fy = 718.0
+    cx, cy = 607.0, 185.0
+    baseline = 0.537
+    p_w = np.stack([rng.uniform(-20, 20, M), rng.uniform(-5, 5, M),
+                    rng.uniform(5, 60, M)], -1).astype(np.float32)
+    kf_T = np.zeros((W, 3, 4), np.float32)
+    kf_T[:, :3, :3] = np.eye(3)
+    for w in range(W):
+        kf_T[w, 2, 3] = -0.8 * w
+    obs_uv = np.zeros((M, W, 2, 2), np.float32)
+    obs_valid = np.zeros((M, W, 2), bool)
+    for w in range(W):
+        for c, bx in enumerate([0.0, baseline]):
+            pc = p_w @ kf_T[w, :, :3].T + kf_T[w, :, 3] - np.array([bx, 0, 0])
+            uv = np.stack([fx * pc[:, 0] / pc[:, 2] + cx,
+                           fy * pc[:, 1] / pc[:, 2] + cy], -1)
+            obs_uv[:, w, c] = uv + rng.normal(0, 0.3, uv.shape)
+            obs_valid[:, w, c] = (pc[:, 2] > 1.0) & (np.abs(uv[:, 0] - cx) < 640) \
+                & (np.abs(uv[:, 1] - cy) < 200)
+    kf_fixed = np.zeros(W, bool)
+    kf_fixed[0] = True
+    prob = ba.LocalBAProblem(
+        kf_T_cw=jnp.asarray(kf_T + rng.normal(0, 1e-3, kf_T.shape)
+                            .astype(np.float32)),
+        kf_valid=jnp.ones(W, bool), kf_fixed=jnp.asarray(kf_fixed),
+        lm_pos=jnp.asarray(p_w + rng.normal(0, 0.05, p_w.shape)
+                           .astype(np.float32)),
+        lm_valid=jnp.ones(M, bool), lm_fixed=jnp.zeros(M, bool),
+        obs_uv=jnp.asarray(obs_uv), obs_valid=jnp.asarray(obs_valid))
+    return prob, (fx, fy, cx, cy, baseline)
+
+
+def main():
+    M = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    prob, (fx, fy, cx, cy, baseline) = build_problem(M)
+    devices = jax.devices("cpu")
+    results = {}
+    for n in (1, 2, 4, 8):
+        mesh = dist_ba.make_mesh(devices[:n])
+        step = dist_ba.distributed_local_ba(mesh, fx, fy, cx, cy, baseline,
+                                            max_rounds=2, iters=10)
+        sp = dist_ba.shard_problem(mesh, prob)
+        res = step(sp)                       # compile + warmup
+        jax.block_until_ready(res.kf_T_cw)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            res = step(sp)
+        jax.block_until_ready(res.kf_T_cw)
+        dt = (time.time() - t0) / reps
+        results[n] = dt
+        eff = results[1] / (n * dt) if 1 in results else float("nan")
+        print(f"devices={n}  {dt*1e3:8.1f} ms/solve  speedup={results[1]/dt:5.2f}x"
+              f"  efficiency={100*eff:5.1f}%  inlier_ratio="
+              f"{float(res.inlier_ratio):.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -101,6 +101,12 @@ class Settings:
     lk_levels: int = 3                  # LK pyramid levels (reference: 3)
     lk_iters: int = 30                  # LK iterations (reference: 30)
     lk_eps: float = 0.01                # LK convergence epsilon (reference: 0.01)
+    # VMEM LK kernel: 'serial' = per-keypoint roll/blend with individual
+    # early exit (fastest measured on v5e — see PERF.md); 'mm'/'mm_f32' =
+    # lockstep matmul-sampling groups (MXU-based, kept as an alternative;
+    # loses to serial on real texture because the group exits at the max of
+    # 8 keypoints' iteration counts)
+    lk_kernel: str = "serial"
     grid_cell: int = 32                 # detection grid cell size (spread heuristic)
     # triangulation depth cap as a multiple of the baseline. The reference
     # accepts any positive depth (frontend.cpp:496-544); without its

@@ -97,7 +97,8 @@ class Frontend:
         self.rh = real_height or height
         self.n_feat = s.max_features
         self.lk_params = lk.LKParams(window=s.lk_window, levels=s.lk_levels,
-                                     iters=s.lk_iters, eps=s.lk_eps)
+                                     iters=s.lk_iters, eps=s.lk_eps,
+                                     kernel=s.lk_kernel)
         # stereo disparities (fx*b/z) are much larger than temporal flow;
         # one extra pyramid level widens the zero-seed basin accordingly
         self.lk_params_stereo = self.lk_params._replace(levels=s.lk_levels + 1)

@@ -125,3 +125,48 @@ def undistort_points(intr: Intrinsics, dist, uv: jnp.ndarray,
     u = x * intr.fx + intr.cx
     v = y * intr.fy + intr.cy
     return jnp.stack([u, v], axis=-1)
+
+
+def distort_normalized(dist, x: jnp.ndarray, y: jnp.ndarray):
+    """Forward plumb-bob distortion of normalized coords (k1,k2,p1,p2)."""
+    k1, k2, p1, p2 = dist
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + k2 * r2)
+    xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+    yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+    return xd, yd
+
+
+def undistort_image(intr: Intrinsics, dist, img: jnp.ndarray) -> jnp.ndarray:
+    """Whole-image undistortion (reference Camera::UndistortImage,
+    src/ssvio/camera.cpp:43-55, which wraps cv::undistort).
+
+    TPU-native form: the remap grid is a pure function of the (static)
+    intrinsics, so XLA constant-folds it; the resample is one bilinear
+    gather pass over the image. The tracking pipeline itself prefers
+    `undistort_points` (keypoint-space, no per-frame warp); this op exists
+    for capability parity and for consumers that need rectified imagery
+    (e.g. the viewer or descriptor sampling on heavily distorted lenses).
+    """
+    h, w = img.shape
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    # output pixel -> normalized ideal coords -> distorted source pixel
+    xn = (xx - intr.cx) / intr.fx
+    yn = (yy - intr.cy) / intr.fy
+    xn, yn = jnp.broadcast_to(xn, (h, w)), jnp.broadcast_to(yn, (h, w))
+    xd, yd = distort_normalized(dist, xn, yn)
+    u = xd * intr.fx + intr.cx
+    v = yd * intr.fy + intr.cy
+    u = jnp.clip(u, 0.0, w - 1.0)
+    v = jnp.clip(v, 0.0, h - 1.0)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, w - 1)
+    v1 = jnp.minimum(v0 + 1, h - 1)
+    fu = u - u0
+    fv = v - v0
+    g = lambda vi, ui: img[vi, ui]
+    top = g(v0, u0) * (1 - fu) + g(v0, u1) * fu
+    bot = g(v1, u0) * (1 - fu) + g(v1, u1) * fu
+    return top * (1 - fv) + bot * fv

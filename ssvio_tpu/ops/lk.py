@@ -51,6 +51,13 @@ class LKParams(NamedTuple):
     # vmapped-dynamic-slice path; 'pallas_interpret' runs the kernel in
     # interpreter mode (CPU parity tests).
     backend: str = "auto"
+    # VMEM-resident kernel flavor: 'serial' = per-keypoint roll/blend kernel
+    # with individual early exit (default; fastest measured), 'mm' =
+    # lockstep matmul-sampling groups (bf16 matmuls, f32 accumulation),
+    # 'mm_f32' = same in full f32. 'mm' requires a Mosaic with mixed
+    # bf16->f32 tpu.matmul support; this image's rejects it ("Bad lhs
+    # type"), so prefer 'mm_f32' on hardware.
+    kernel: str = "serial"
 
 
 def _pallas_mode(params: "LKParams"):
@@ -107,7 +114,7 @@ def _sample_window(patches: jnp.ndarray, local_tl: jnp.ndarray, win: int):
 
 
 def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
-                        params: LKParams, interpret: bool):
+                        valid, params: LKParams, interpret: bool):
     """Pallas-kernel level: VMEM-resident kernel when the level fits
     (no per-keypoint DMA — see lk_pallas.lk_level_vmem), HBM-patch kernel
     otherwise."""
@@ -129,12 +136,19 @@ def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
             gy_p = jnp.pad(gy, pad)
         else:
             img_prev_p, img_cur_p, gx_p, gy_p = img_prev, img_cur, gx, gy
-        frozen0 = (~sampling.in_bounds(pts_guess, h, w, border=r + 1)) \
+        frozen0 = (~valid | ~sampling.in_bounds(pts_guess, h, w, border=r + 1)) \
             .astype(jnp.int32)[:, None]
-        pts_out, flag = lk_pallas.lk_level_vmem(
-            img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess, frozen0,
-            win=win, iters=params.iters, eps=params.eps,
-            min_eig=params.min_eig, interpret=interpret)
+        if params.kernel in ("mm", "mm_f32"):
+            pts_out, flag = lk_pallas.lk_level_vmem_mm(
+                img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,
+                frozen0, win=win, iters=params.iters, eps=params.eps,
+                min_eig=params.min_eig, use_bf16=(params.kernel == "mm"),
+                interpret=interpret)
+        else:
+            pts_out, flag = lk_pallas.lk_level_vmem(
+                img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,
+                frozen0, win=win, iters=params.iters, eps=params.eps,
+                min_eig=params.min_eig, interpret=interpret)
         ok = (flag[:, 0] > 0) & sampling.in_bounds(pts_out, h, w, border=1.0) \
             & sampling.in_bounds(pts_prev, img_prev.shape[0],
                                  img_prev.shape[1], border=1.0)
@@ -177,7 +191,7 @@ def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
     org_C = aligned_origin(tlc, pcy)
     org_Cf = org_C.astype(pts_guess.dtype)
     local0 = pts_guess - r - org_Cf
-    frozen0 = (~sampling.in_bounds(pts_guess, h, w, border=r + 1)) \
+    frozen0 = (~valid | ~sampling.in_bounds(pts_guess, h, w, border=r + 1)) \
         .astype(jnp.int32)[:, None]
 
     local_out, flag = lk_pallas.lk_level_pallas(
@@ -194,12 +208,17 @@ def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
 def _track_level(img_prev: jnp.ndarray, img_cur: jnp.ndarray,
                  gx: jnp.ndarray, gy: jnp.ndarray,
                  pts_prev: jnp.ndarray, pts_guess: jnp.ndarray,
+                 valid: jnp.ndarray,
                  params: LKParams) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One pyramid level of KLT. Returns (pts_cur [N,2], ok [N])."""
+    """One pyramid level of KLT. Returns (pts_cur [N,2], ok [N]).
+
+    `valid` pre-freezes dead keypoints: invalid slots of the fixed-capacity
+    feature array would otherwise burn full iteration loops on stale
+    positions (typically ~half the slots in steady state)."""
     mode = _pallas_mode(params)
     if mode is not None:
         return _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev,
-                                   pts_guess, params, interpret=mode)
+                                   pts_guess, valid, params, interpret=mode)
     win = params.window
     r = win // 2
     margin = params.margin
@@ -255,7 +274,7 @@ def _track_level(img_prev: jnp.ndarray, img_cur: jnp.ndarray,
 
     pts0 = pts_guess
     local0 = pts0 - r - org_Cf
-    frozen0 = ((local0[:, 0] < 0) | (local0[:, 1] < 0)
+    frozen0 = (~valid | (local0[:, 0] < 0) | (local0[:, 1] < 0)
                | (local0[:, 0] > Pc - win - 1) | (local0[:, 1] > Pc - win - 1)
                | ~sampling.in_bounds(pts0, h, w, border=r + 1))
     pts_out, _ = lax.fori_loop(0, params.iters, body, (pts0, frozen0))
@@ -304,7 +323,8 @@ def track(pyr_prev: List[jnp.ndarray], pyr_cur: List[jnp.ndarray],
         else:
             gx, gy = pyr_ops.sobel_gradients(img_p)
         pts_cur_lvl, ok_lvl = _track_level(img_p, img_c, gx, gy,
-                                           pts_lvl, pts_lvl + flow, params)
+                                           pts_lvl, pts_lvl + flow, valid,
+                                           params)
         flow = pts_cur_lvl - pts_lvl
         ok = ok & ok_lvl
         if l > 0:

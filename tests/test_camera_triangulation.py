@@ -90,3 +90,45 @@ def test_undistort_points_roundtrip(rng):
     uv_undist = camera.undistort_points(rig.intr_left, dist, jnp.asarray(uv_dist.astype(np.float32)), iters=8)
     expected = np.stack([x * 718.856 + 607.1928, y * 718.856 + 185.2157], axis=-1)
     np.testing.assert_allclose(np.asarray(uv_undist), expected, atol=0.05)
+
+
+def test_undistort_image_roundtrip():
+    """undistort_image inverts the lens model: applying it to a distorted
+    rendering of a smooth scene recovers the ideal (pinhole) image away
+    from the borders."""
+    import numpy as np
+    import scipy.ndimage as ndi
+
+    from ssvio_tpu.ops import camera
+
+    h, w = 96, 128
+    fx = fy = 100.0
+    cx, cy = 64.0, 48.0
+    intr = camera.Intrinsics(fx=jnp.float32(fx), fy=jnp.float32(fy),
+                             cx=jnp.float32(cx), cy=jnp.float32(cy))
+    dist = (0.08, -0.01, 0.0, 0.0)
+    rng = np.random.default_rng(0)
+    img_ideal = np.kron(rng.uniform(0, 255, (12, 16)), np.ones((8, 8)))
+    img_ideal = ndi.gaussian_filter(img_ideal, 2.0)
+
+    # observed (distorted) image: I_d(p) = I_ideal at the pinhole location
+    # that distorts TO p. undistort_image computes U(p) = I_d(D(p)), so
+    # building I_d on the inverse warp makes U(p) == I_ideal(p).
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    xn, yn = (xx - cx) / fx, (yy - cy) / fy
+    # numerically invert the distortion per pixel (fixed point, as in
+    # undistort_points)
+    x_u, y_u = xn.copy(), yn.copy()
+    for _ in range(8):
+        xd, yd = camera.distort_normalized(dist, x_u, y_u)
+        x_u += xn - np.asarray(xd)
+        y_u += yn - np.asarray(yd)
+    img_d = ndi.map_coordinates(img_ideal, [y_u * fy + cy, x_u * fx + cx],
+                                order=1, mode="nearest")
+
+    out = np.asarray(camera.undistort_image(intr, dist,
+                                            jnp.asarray(img_d, jnp.float32)))
+    c = 20
+    diff = np.abs(out[c:-c, c:-c] - img_ideal[c:-c, c:-c])
+    assert np.median(diff) < 3.0, np.median(diff)
+    assert diff.mean() < 5.0, diff.mean()

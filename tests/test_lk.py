@@ -124,3 +124,25 @@ def test_lk_flags_lost_points(rng):
     # either flagged invalid or big photometric error
     bad = (~np.asarray(ok)) | (np.asarray(err) > 10.0)
     assert bad.mean() > 0.7
+
+
+def test_invalid_points_frozen_at_seed(rng):
+    """Invalid slots must not be tracked at all: they return their seed
+    position (the kernel pre-freezes them instead of iterating on stale
+    coordinates) and come back not-ok."""
+    import cv2
+    img = rng.uniform(0, 255, (192, 256)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (7, 7), 1.5)
+    M = np.float32([[1, 0, 3.0], [0, 1, -2.0]])
+    img2 = cv2.warpAffine(img, M, (256, 192))
+    pyr1 = pyramid.build_lk_pyramid(jnp.asarray(img), 3)
+    pyr2 = pyramid.build_lk_pyramid(jnp.asarray(img2), 3)
+    pts = np.array([[120.0, 90.0], [60.0, 60.0], [180.0, 120.0]], np.float32)
+    valid = jnp.asarray([True, False, False])
+    p = jnp.asarray(pts)
+    out, ok, _ = lk.track(pyr1, pyr2, p, p, valid)
+    assert bool(ok[0]) and not bool(ok[1]) and not bool(ok[2])
+    np.testing.assert_allclose(np.asarray(out)[1:], pts[1:], atol=1e-6)
+    # the valid point actually moved with the warp
+    assert abs(float(out[0, 0]) - 123.0) < 0.5
+    assert abs(float(out[0, 1]) - 88.0) < 0.5

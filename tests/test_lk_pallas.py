@@ -23,11 +23,12 @@ def test_pallas_level_matches_xla(rng):
     p = jnp.asarray(pts)
     gx, gy = pyramid.sobel_gradients(jnp.asarray(img))
     params_x = lk.LKParams(backend="xla")
-    params_p = lk.LKParams(backend="pallas_interpret")
+    params_p = lk.LKParams(backend="pallas_interpret", kernel="serial")
+    v = jnp.ones(p.shape[0], bool)
     out_x, ok_x = lk._track_level(jnp.asarray(img), jnp.asarray(img2),
-                                  gx, gy, p, p, params_x)
+                                  gx, gy, p, p, v, params_x)
     out_p, ok_p = lk._track_level(jnp.asarray(img), jnp.asarray(img2),
-                                  gx, gy, p, p, params_p)
+                                  gx, gy, p, p, v, params_p)
     np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_p))
     both = np.asarray(ok_x)
     np.testing.assert_allclose(np.asarray(out_p)[both], np.asarray(out_x)[both],
@@ -43,7 +44,8 @@ def test_pallas_full_track_matches_xla(rng):
     out_x, ok_x, err_x = lk.track(pyr1, pyr2, p, p, valid,
                                   lk.LKParams(backend="xla"))
     out_p, ok_p, err_p = lk.track(pyr1, pyr2, p, p, valid,
-                                  lk.LKParams(backend="pallas_interpret"))
+                                  lk.LKParams(backend="pallas_interpret",
+                                              kernel="serial"))
     both = np.asarray(ok_x) & np.asarray(ok_p)
     assert both.mean() > 0.8
     np.testing.assert_allclose(np.asarray(out_p)[both], np.asarray(out_x)[both],
@@ -51,3 +53,41 @@ def test_pallas_full_track_matches_xla(rng):
     # and both recover the true shift
     flow = np.asarray(out_p)[both] - pts[both]
     np.testing.assert_allclose(np.median(flow, axis=0), [3.2, -2.1], atol=0.2)
+
+
+def test_mm_kernel_matches_xla(rng):
+    """Matmul-sampling lockstep kernel (interpret mode, f32) vs XLA path."""
+    img, img2, pts = _scene(rng)
+    pyr1 = pyramid.build_lk_pyramid(jnp.asarray(img), 3)
+    pyr2 = pyramid.build_lk_pyramid(jnp.asarray(img2), 3)
+    p = jnp.asarray(pts)
+    valid = jnp.ones(len(pts), bool)
+    out_x, ok_x, _ = lk.track(pyr1, pyr2, p, p, valid,
+                              lk.LKParams(backend="xla"))
+    out_m, ok_m, _ = lk.track(pyr1, pyr2, p, p, valid,
+                              lk.LKParams(backend="pallas_interpret",
+                                          kernel="mm_f32"))
+    both = np.asarray(ok_x) & np.asarray(ok_m)
+    assert both.sum() >= 0.8 * len(pts)
+    np.testing.assert_allclose(np.asarray(out_m)[both],
+                               np.asarray(out_x)[both], atol=0.05)
+
+
+def test_mm_kernel_bf16_close(rng):
+    """bf16 sampling matmuls stay within a small fraction of a pixel of the
+    f32 result (quantized interpolation weights)."""
+    img, img2, pts = _scene(rng)
+    pyr1 = pyramid.build_lk_pyramid(jnp.asarray(img), 3)
+    pyr2 = pyramid.build_lk_pyramid(jnp.asarray(img2), 3)
+    p = jnp.asarray(pts)
+    valid = jnp.ones(len(pts), bool)
+    out_f, ok_f, _ = lk.track(pyr1, pyr2, p, p, valid,
+                              lk.LKParams(backend="pallas_interpret",
+                                          kernel="mm_f32"))
+    out_b, ok_b, _ = lk.track(pyr1, pyr2, p, p, valid,
+                              lk.LKParams(backend="pallas_interpret",
+                                          kernel="mm"))
+    both = np.asarray(ok_f) & np.asarray(ok_b)
+    assert both.sum() >= 0.8 * len(pts)
+    err = np.abs(np.asarray(out_b)[both] - np.asarray(out_f)[both])
+    assert err.max() < 0.35, err.max()
