@@ -52,11 +52,12 @@ class LKParams(NamedTuple):
     # interpreter mode (CPU parity tests).
     backend: str = "auto"
     # VMEM-resident kernel flavor: 'serial' = per-keypoint roll/blend kernel
-    # with individual early exit (default; fastest measured), 'mm' =
-    # lockstep matmul-sampling groups (bf16 matmuls, f32 accumulation),
-    # 'mm_f32' = same in full f32. 'mm' requires a Mosaic with mixed
-    # bf16->f32 tpu.matmul support; this image's rejects it ("Bad lhs
-    # type"), so prefer 'mm_f32' on hardware.
+    # with individual early exit (default; fastest measured), 'ymm'/'pkmm' =
+    # serial structure but window sampling via two-hot interpolation
+    # matmuls (y only / both axes), 'mm' = lockstep matmul-sampling groups
+    # (bf16 matmuls, f32 accumulation), 'mm_f32' = same in full f32. 'mm'
+    # requires a Mosaic with mixed bf16->f32 tpu.matmul support; this
+    # image's rejects it ("Bad lhs type"), so prefer 'mm_f32' on hardware.
     kernel: str = "serial"
 
 
@@ -143,6 +144,12 @@ def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
                 img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,
                 frozen0, win=win, iters=params.iters, eps=params.eps,
                 min_eig=params.min_eig, use_bf16=(params.kernel == "mm"),
+                interpret=interpret)
+        elif params.kernel in ("ymm", "pkmm"):
+            pts_out, flag = lk_pallas.lk_level_vmem_pk(
+                img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,
+                frozen0, win=win, iters=params.iters, eps=params.eps,
+                min_eig=params.min_eig, x_mm=(params.kernel == "pkmm"),
                 interpret=interpret)
         else:
             pts_out, flag = lk_pallas.lk_level_vmem(

@@ -275,6 +275,178 @@ def _make_vmem_kernel(win: int, H: int, W: int, iters: int, eps: float,
     return kernel
 
 
+def _make_vmem_pk_kernel(win: int, H: int, W: int, iters: int, eps: float,
+                         min_eig: float, kp: int, x_mm: bool):
+    """Per-keypoint matmul-sampling kernel (VMEM-resident images).
+
+    Same serial structure and individual early exit as _make_vmem_kernel,
+    but the per-iteration window sample replaces the [32, LANES] dynamic
+    sublane roll + 4-corner blend with ONE tiny MXU matmul:
+
+        sampled = By[16, 32] @ slab[32, LANES]
+
+    where By is a banded "two-hot" interpolation matrix whose row i puts
+    (1-fy) at column rem+i and fy at column rem+i+1 — the dynamic sub-8 y
+    offset AND the fractional y blend ride the matmul. The x offset is then
+    either a power-of-2 lane roll + 2-term fractional blend (x_mm=False,
+    'ymm') or a second two-hot matmul sampled @ Bx^T (x_mm=True, 'pkmm')
+    that leaves a dense [16, 16] window for the residual math.
+    """
+    YR = 16                     # output rows: sublane-aligned, >= win
+    lim_x = float(W - win - 2)
+    lim_y = float(H - win - 2)
+    f32 = jnp.float32
+
+    def slab_base(bx_i, by_i):
+        base_y = jnp.minimum((by_i // 8) * 8, H - 32)
+        base_y = pl.multiple_of(base_y, 8)
+        base_x = jnp.minimum((bx_i // 128) * 128, W - LANES)
+        base_x = pl.multiple_of(base_x, 128)
+        return base_x, base_y
+
+    def build_by(rem, fy):
+        """[YR, 32] two-hot y-interpolation matrix (rows >= win are zero)."""
+        ii = jax.lax.broadcasted_iota(jnp.int32, (YR, 32), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (YR, 32), 1)
+        live = ii < win
+        tgt = rem + ii
+        return (jnp.where(live & (jj == tgt), 1.0 - fy, 0.0)
+                + jnp.where(live & (jj == tgt + 1), fy, 0.0))
+
+    def build_bx(rem, fx):
+        """[YR, LANES] two-hot x-interpolation matrix."""
+        ii = jax.lax.broadcasted_iota(jnp.int32, (YR, LANES), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (YR, LANES), 1)
+        live = ii < win
+        tgt = rem + ii
+        return (jnp.where(live & (jj == tgt), 1.0 - fx, 0.0)
+                + jnp.where(live & (jj == tgt + 1), fx, 0.0))
+
+    def sample(ref, bx_i, by_i, fx, fy):
+        """Bilinear [*, win(+pad)] window at dynamic (bx+fx, by+fy)."""
+        base_x, base_y = slab_base(bx_i, by_i)
+        slab = ref[pl.ds(base_y, 32), pl.ds(base_x, LANES)]    # [32, LANES]
+        By = build_by(by_i - base_y, fy)
+        sampled = jax.lax.dot_general(By, slab, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=f32)
+        if x_mm:
+            Bx = build_bx(bx_i - base_x, fx)
+            return jax.lax.dot_general(sampled, Bx, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=f32)  # [YR, YR]
+        rolled = pltpu.roll(sampled, -(bx_i - base_x), axis=1)
+        return (1.0 - fx) * rolled[:, :win] + fx * rolled[:, 1:win + 1]
+
+    def kernel(ptsT_ref, pts0_ref, frozen0_ref,       # scalar prefetch (SMEM)
+               prev_ref, gx_ref, gy_ref, cur_ref,     # whole level in VMEM
+               out_ref, flag_ref):                    # SMEM flat [2N], [N]
+        pid = pl.program_id(0)
+        r = win // 2
+        for b in range(kp):
+            i = pid * kp + b
+            tx = ptsT_ref[2 * i] - r
+            ty = ptsT_ref[2 * i + 1] - r
+            btx = jnp.clip(jnp.floor(tx), 0.0, lim_x)
+            bty = jnp.clip(jnp.floor(ty), 0.0, lim_y)
+            ftx = tx - btx
+            fty = ty - bty
+            btx_i = btx.astype(jnp.int32)
+            bty_i = bty.astype(jnp.int32)
+            T = sample(prev_ref, btx_i, bty_i, ftx, fty)
+            Gx = sample(gx_ref, btx_i, bty_i, ftx, fty)
+            Gy = sample(gy_ref, btx_i, bty_i, ftx, fty)
+
+            gxx = jnp.sum(Gx * Gx)
+            gxy = jnp.sum(Gx * Gy)
+            gyy = jnp.sum(Gy * Gy)
+            det = gxx * gyy - gxy * gxy
+            trace = gxx + gyy
+            me = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det,
+                                               0.0))) * 0.5
+            good_g = (me / (win * win)) > min_eig
+            inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+
+            def cond(carry):
+                it, lx, ly, frozen = carry
+                return (it < iters) & jnp.logical_not(frozen)
+
+            def body(carry, T=T, Gx=Gx, Gy=Gy, gxx=gxx, gxy=gxy, gyy=gyy,
+                     inv_det=inv_det):
+                it, lx, ly, frozen = carry
+                bx = jnp.clip(jnp.floor(lx), 0.0, lim_x)
+                by = jnp.clip(jnp.floor(ly), 0.0, lim_y)
+                fx = lx - bx
+                fy = ly - by
+                I = sample(cur_ref, bx.astype(jnp.int32),
+                           by.astype(jnp.int32), fx, fy)
+                diff = T - I
+                bxs = jnp.sum(diff * Gx)
+                bys = jnp.sum(diff * Gy)
+                dx = (gyy * bxs - gxy * bys) * inv_det
+                dy = (gxx * bys - gxy * bxs) * inv_det
+                nlx = lx + dx
+                nly = ly + dy
+                converged = dx * dx + dy * dy < eps * eps
+                oob = (nlx < 0.0) | (nly < 0.0) | (nlx > lim_x) | (nly > lim_y)
+                return it + 1, nlx, nly, converged | oob
+
+            lx0 = pts0_ref[2 * i] - r
+            ly0 = pts0_ref[2 * i + 1] - r
+            frozen0 = frozen0_ref[i] > 0
+            oob0 = (lx0 < 0.0) | (ly0 < 0.0) | (lx0 > lim_x) | (ly0 > lim_y)
+            _, lx, ly, _ = jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), lx0, ly0,
+                 frozen0 | oob0 | jnp.logical_not(good_g)))
+            out_ref[2 * i] = lx + r
+            out_ref[2 * i + 1] = ly + r
+            flag_ref[i] = good_g.astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "eps",
+                                             "min_eig", "x_mm", "interpret"))
+def lk_level_vmem_pk(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
+                     img_cur: jnp.ndarray, pts_prev: jnp.ndarray,
+                     pts_guess: jnp.ndarray, frozen0: jnp.ndarray,
+                     win: int, iters: int, eps: float, min_eig: float,
+                     x_mm: bool = False,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-keypoint matmul-sampling KLT level. Same contract as
+    lk_level_vmem; x_mm selects the second (x) matmul ('pkmm') over the
+    lane-roll + 2-term blend ('ymm')."""
+    n = pts_prev.shape[0]
+    H, W = img_cur.shape
+    assert H % 8 == 0 and H >= 32 and W % 128 == 0 and W >= LANES
+    kp = min(KP_PER_PROG, n)
+    n_pad = -(-n // kp) * kp
+    if n_pad != n:
+        d = n_pad - n
+        pts_prev = jnp.concatenate([pts_prev, jnp.zeros((d, 2), jnp.float32)])
+        pts_guess = jnp.concatenate([pts_guess, jnp.zeros((d, 2), jnp.float32)])
+        frozen0 = jnp.concatenate([frozen0, jnp.ones((d, 1), jnp.int32)])
+    kernel = _make_vmem_pk_kernel(win, H, W, iters, eps, min_eig, kp, x_mm)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pad // kp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+    )
+    out, flag = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2 * n_pad,), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad,), jnp.int32)],
+        interpret=interpret,
+    )(pts_prev.reshape(-1), pts_guess.reshape(-1), frozen0.reshape(-1),
+      img_prev, gx, gy, img_cur)
+    return out[: 2 * n].reshape(n, 2), flag[:n].reshape(n, 1)
+
+
 # VMEM budget for the 4 resident planes (v5e has ~16 MiB more generally
 # shared with scratch; leave headroom for the compiler)
 VMEM_PLANE_BUDGET = 12 << 20

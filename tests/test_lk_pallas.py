@@ -73,6 +73,26 @@ def test_mm_kernel_matches_xla(rng):
                                np.asarray(out_x)[both], atol=0.05)
 
 
+def test_pk_kernels_match_xla(rng):
+    """Per-keypoint matmul-sampling kernels ('ymm', 'pkmm') vs XLA path."""
+    img, img2, pts = _scene(rng)
+    pyr1 = pyramid.build_lk_pyramid(jnp.asarray(img), 3)
+    pyr2 = pyramid.build_lk_pyramid(jnp.asarray(img2), 3)
+    p = jnp.asarray(pts)
+    valid = jnp.ones(len(pts), bool)
+    out_x, ok_x, _ = lk.track(pyr1, pyr2, p, p, valid,
+                              lk.LKParams(backend="xla"))
+    for kern in ("ymm", "pkmm"):
+        out_k, ok_k, _ = lk.track(pyr1, pyr2, p, p, valid,
+                                  lk.LKParams(backend="pallas_interpret",
+                                              kernel=kern))
+        both = np.asarray(ok_x) & np.asarray(ok_k)
+        assert both.sum() >= 0.8 * len(pts), kern
+        np.testing.assert_allclose(np.asarray(out_k)[both],
+                                   np.asarray(out_x)[both], atol=0.05,
+                                   err_msg=kern)
+
+
 def test_mm_kernel_bf16_close(rng):
     """bf16 sampling matmuls stay within a small fraction of a pixel of the
     f32 result (quantized interpolation weights)."""
