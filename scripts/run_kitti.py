@@ -48,6 +48,12 @@ def parse_args(argv=None):
                    help="disable loop closing")
     p.add_argument("--max_frames", type=int, default=0,
                    help="stop after N frames (0 = whole sequence)")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="process N frames per device dispatch (the fast "
+                        "chunked pipeline — decode, upload and compute "
+                        "overlap; loop closing runs at chunk boundaries). "
+                        "0 = per-frame run_step (reference-style loop, "
+                        "test_system.cpp:36-48)")
     p.add_argument("--viewer", action="store_true",
                    help="live matplotlib viewer (needs a display)")
     p.add_argument("--frames_only_traj", action="store_true",
@@ -55,6 +61,56 @@ def parse_args(argv=None):
     p.add_argument("--profile_dir", default=None,
                    help="write a JAX profiler trace for frames 20..40 here")
     return p.parse_args(argv)
+
+
+def _run_chunked(system, loader, ts, n, chunk, viewer, gt, t0):
+    """Pipelined chunk loop: decode (native loader thread) -> pad+upload
+    (ChunkPrefetcher thread) -> device scan (dispatch k+1 before collecting
+    k) — three-way overlap, the production analog of bench.py's timed loop.
+    The reference gets its overlap from the frontend/backend thread split
+    (reference backend.cpp:20-55); here chunk boundaries are the sync
+    points, and loop closing runs at collect time."""
+    it = iter(loader)
+
+    def read_chunk():
+        bl, br = [], []
+        for _ in range(chunk):
+            l, r = next(it)
+            bl.append(l)
+            br.append(r)
+        return bl, br
+
+    n_chunks = n // chunk
+    pf = system.prefetcher()
+    if n_chunks:
+        pf.submit(*read_chunk())
+    pending = None
+    for ci in range(n_chunks):
+        dev_l, dev_r = pf.get()
+        c0 = ci * chunk
+        h = system.dispatch_chunk(dev_l, dev_r,
+                                  [float(ts[c0 + j]) for j in range(chunk)])
+        if ci + 1 < n_chunks:
+            pf.submit(*read_chunk())    # decode+upload ride behind compute
+        if pending is not None:
+            system.collect_chunk(pending)
+        pending = h
+        if ci % max(1, 100 // chunk) == 0:
+            el = time.time() - t0
+            print(f"[run_kitti] frame {c0}/{n}  "
+                  f"kfs={system.stats['n_keyframes']} "
+                  f"loops={system.stats['n_loops']}  "
+                  f"{(c0 + chunk) / max(el, 1e-9):.1f} fps", flush=True)
+        if viewer is not None:
+            viewer.update(system, gt_poses_wc=gt)
+    if pending is not None:
+        system.collect_chunk(pending)
+    pf.close()
+    # tail remainder: the per-frame path (a different jitted program; only
+    # ever pays off for the < chunk leftover frames)
+    for i in range(n_chunks * chunk, n):
+        img_l, img_r = next(it)
+        system.run_step(img_l, img_r, float(ts[i]))
 
 
 def main(argv=None) -> int:
@@ -82,24 +138,29 @@ def main(argv=None) -> int:
         from ssvio_tpu.viz import LiveViewer
         viewer = LiveViewer(update_every=5)
 
-    loader = kitti.prefetching_reader(left[:n], right[:n])
+    loader = kitti.prefetching_reader(
+        left[:n], right[:n],
+        capacity=max(8, 2 * args.chunk) if args.chunk else 8)
     t0 = time.time()
-    for i, (img_l, img_r) in enumerate(loader):
-        if args.profile_dir and i == 20:
-            import jax
-            jax.profiler.start_trace(args.profile_dir)
-        system.run_step(img_l, img_r, float(ts[i]))
-        if args.profile_dir and i == 40:
-            import jax
-            jax.profiler.stop_trace()
-        if i % 100 == 0:
-            el = time.time() - t0
-            print(f"[run_kitti] frame {i}/{n}  status={system.status}  "
-                  f"kfs={system.stats['n_keyframes']} "
-                  f"loops={system.stats['n_loops']}  "
-                  f"{(i + 1) / max(el, 1e-9):.1f} fps")
-        if viewer is not None:
-            viewer.update(system, gt_poses_wc=gt)
+    if args.chunk:
+        _run_chunked(system, loader, ts, n, args.chunk, viewer, gt, t0)
+    else:
+        for i, (img_l, img_r) in enumerate(loader):
+            if args.profile_dir and i == 20:
+                import jax
+                jax.profiler.start_trace(args.profile_dir)
+            system.run_step(img_l, img_r, float(ts[i]))
+            if args.profile_dir and i == 40:
+                import jax
+                jax.profiler.stop_trace()
+            if i % 100 == 0:
+                el = time.time() - t0
+                print(f"[run_kitti] frame {i}/{n}  status={system.status}  "
+                      f"kfs={system.stats['n_keyframes']} "
+                      f"loops={system.stats['n_loops']}  "
+                      f"{(i + 1) / max(el, 1e-9):.1f} fps")
+            if viewer is not None:
+                viewer.update(system, gt_poses_wc=gt)
     wall = time.time() - t0
     print(f"[run_kitti] done: {n} frames in {wall:.1f}s "
           f"({n / wall:.1f} fps), {system.stats['n_keyframes']} keyframes, "

@@ -52,6 +52,7 @@ class LoopEvent(NamedTuple):
     n_inliers: int
     error: float
     corrected: bool
+    n_fused: int = 0    # mappoints deduplicated/adopted at this closure
 
 
 def _round_pow2(n: int, lo: int = 64) -> int:
@@ -81,6 +82,7 @@ class LoopClosing:
         self.kp_xy = jnp.zeros((self.cap, self.F, 2), jnp.float32)
         self.lm_pos = jnp.zeros((self.cap, self.F, 3), jnp.float32)
         self.lm_has = jnp.zeros((self.cap, self.F), bool)
+        self.lm_gid_db = jnp.full((self.cap, self.F), -1, jnp.int32)
         self.db_gid = np.full((self.cap,), -1, np.int64)  # host mirror
         self.row_of_gid = {}
         self.n = 0
@@ -92,11 +94,13 @@ class LoopClosing:
         self._rng_key = jax.random.PRNGKey(17)
 
         self._describe = jax.jit(self._describe_impl)
-        self._store = jax.jit(self._store_impl, donate_argnums=(0, 1, 2, 3, 4, 5))
+        self._store = jax.jit(self._store_impl,
+                              donate_argnums=(0, 1, 2, 3, 4, 5, 6))
         self._store_bow = jax.jit(lambda db, row, v: db.at[row].set(v),
                                   donate_argnums=(0,))
         self._match = jax.jit(self._match_impl)
         self._correct_active = jax.jit(self._correct_active_impl)
+        self._fuse = jax.jit(self._fuse_impl)
 
     # ------------------------------------------------------------------
     # descriptor extraction (reference ProcessNewKeyframe :596-634:
@@ -118,11 +122,11 @@ class LoopClosing:
         return jnp.concatenate(descs, 0), jnp.concatenate(vals, 0)
 
     @staticmethod
-    def _store_impl(desc_db, desc_valid, kp_xy, lm_pos, lm_has, bow_db,
-                    row, desc, dval, xy, lmp, lmh):
+    def _store_impl(desc_db, desc_valid, kp_xy, lm_pos, lm_has, lm_gid_db,
+                    bow_db, row, desc, dval, xy, lmp, lmh, lmg):
         return (desc_db.at[row].set(desc), desc_valid.at[row].set(dval),
                 kp_xy.at[row].set(xy), lm_pos.at[row].set(lmp),
-                lm_has.at[row].set(lmh), bow_db)
+                lm_has.at[row].set(lmh), lm_gid_db.at[row].set(lmg), bow_db)
 
     # ------------------------------------------------------------------
     # matching (reference MatchFeatures :105-145)
@@ -170,6 +174,92 @@ class LoopClosing:
         return kf_new, lm_new
 
     # ------------------------------------------------------------------
+    # current<->loop mappoint fusion (reference
+    # CorrectActivateKeyframeAndMappoint, loopclosing.cpp:428-453: each
+    # matched current-KF feature's mappoint is REPLACED by the loop KF's,
+    # deduplicating structure so BA and future tracking reuse the old
+    # landmarks instead of accumulating drifted duplicates)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _fuse_impl(m: mapmod.MapState, feat, best_j, ok,
+                   loop_pos, loop_gid_arr, loop_has, loop_kf_gid):
+        """Fuse matched landmarks into the (rigidly corrected) active map.
+
+        Two cases per accepted match (current feature i -> loop feature j):
+        * MERGE: the loop landmark is still resident in the active map
+          (gid found in m.lm_gid) -> move the current duplicate's
+          observation rows onto the resident slot, retire the duplicate.
+        * ADOPT: the loop landmark left the active window -> overwrite the
+          current slot in place with the loop landmark's position and
+          identity, and stamp lm_first_kf = loop KF so local BA holds it
+          FIXED like any landmark first observed outside the window
+          (reference backend.cpp:118-126).
+
+        Returns (map', slot_remap [M] int32, pre-fusion lm_gid [M],
+        n_merged, n_adopted). Features are re-linked separately via
+        `remap_feat` with (slot_remap, pre-fusion gids, post-fusion gids).
+        """
+        M = m.lm_valid.shape[0]
+        cur = feat.lm_slot                                   # [F]
+        cur_c = jnp.clip(cur, 0, M - 1)
+        live = (feat.valid & (cur >= 0) & m.lm_valid[cur_c]
+                & (m.lm_gid[cur_c] == feat.lm_gid))
+        g_loop = loop_gid_arr[best_j]                        # [F]
+        p_loop = loop_pos[best_j]
+        can = ok & live & loop_has[best_j] & (g_loop >= 0)
+
+        eq = (m.lm_gid[None, :] == g_loop[:, None]) & m.lm_valid[None, :]
+        in_map = jnp.any(eq, axis=1) & can
+        tgt = jnp.argmax(eq, axis=1).astype(jnp.int32)
+        case_a = in_map & (tgt != cur_c)     # merge duplicate -> resident
+        case_b = can & ~in_map               # adopt loop landmark in place
+
+        # MERGE: union the duplicate's observation rows into the resident
+        # slot (resident obs win where both exist), then retire the slot.
+        # Scatters route unused lanes to row M (dropped, see map.py).
+        cur_obs_v = m.obs_valid[cur_c]                       # [F, W, 2]
+        tgt_obs_v = m.obs_valid[jnp.clip(tgt, 0, M - 1)]
+        fill = cur_obs_v & ~tgt_obs_v
+        merged_uv = jnp.where(fill[..., None], m.obs_uv[cur_c],
+                              m.obs_uv[jnp.clip(tgt, 0, M - 1)])
+        merged_v = tgt_obs_v | cur_obs_v
+        a_tgt = jnp.where(case_a, tgt, M)
+        obs_uv = m.obs_uv.at[a_tgt].set(merged_uv, mode="drop")
+        obs_valid = m.obs_valid.at[a_tgt].set(merged_v, mode="drop")
+        a_cur = jnp.where(case_a, cur_c, M)
+        obs_valid = obs_valid.at[a_cur].set(False, mode="drop")
+        lm_valid = m.lm_valid.at[a_cur].set(False, mode="drop")
+
+        # ADOPT
+        b_cur = jnp.where(case_b, cur_c, M)
+        lm_pos = m.lm_pos.at[b_cur].set(p_loop, mode="drop")
+        lm_gid = m.lm_gid.at[b_cur].set(g_loop, mode="drop")
+        lm_first = m.lm_first_kf.at[b_cur].set(loop_kf_gid, mode="drop")
+
+        remap = jnp.arange(M, dtype=jnp.int32).at[a_cur].set(tgt, mode="drop")
+        return (m._replace(lm_pos=lm_pos, lm_valid=lm_valid, lm_gid=lm_gid,
+                           lm_first_kf=lm_first, obs_uv=obs_uv,
+                           obs_valid=obs_valid),
+                remap, m.lm_gid,
+                jnp.sum(case_a.astype(jnp.int32)),
+                jnp.sum(case_b.astype(jnp.int32)))
+
+    @staticmethod
+    @jax.jit
+    def remap_feat(feat, remap, old_gid, new_gid):
+        """Re-link a FeatState through a fusion remap: features whose
+        landmark link was live pre-fusion follow their landmark to its
+        post-fusion slot/gid; stale links are untouched (they die at the
+        next generation check)."""
+        M = remap.shape[0]
+        s = jnp.clip(feat.lm_slot, 0, M - 1)
+        live = (feat.lm_slot >= 0) & (feat.lm_gid == old_gid[s])
+        ns = remap[s]
+        ng = new_gid[jnp.clip(ns, 0, M - 1)]
+        return feat._replace(lm_slot=jnp.where(live, ns, feat.lm_slot),
+                             lm_gid=jnp.where(live, ng, feat.lm_gid))
+
+    # ------------------------------------------------------------------
     def process_keyframe(self, system, kf_gid: int, pyr_l, feat,
                          m: mapmod.MapState, T_cw) -> Optional[LoopEvent]:
         """Ingest a keyframe; maybe detect + correct a loop.
@@ -184,16 +274,18 @@ class LoopClosing:
             return None
         row = self.n
 
-        # landmark snapshot for this KF's features (world frame)
+        # landmark snapshot for this KF's features (world frame + identity)
         lm_idx = jnp.clip(feat.lm_slot, 0, m.lm_pos.shape[0] - 1)
         lm_has = feat.valid & (feat.lm_slot >= 0) & m.lm_valid[lm_idx]
         lm_p = m.lm_pos[lm_idx]
+        lm_g = jnp.where(lm_has, m.lm_gid[lm_idx], -1)
 
         desc, dval = self._describe(pyr_l, feat.xy, feat.valid)
         (self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
-         self.lm_has, self.bow_db) = self._store(
+         self.lm_has, self.lm_gid_db, self.bow_db) = self._store(
             self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
-            self.lm_has, self.bow_db, row, desc, dval, feat.xy, lm_p, lm_has)
+            self.lm_has, self.lm_gid_db, self.bow_db, row, desc, dval,
+            feat.xy, lm_p, lm_has, lm_g)
         self.db_gid[row] = kf_gid
         self.row_of_gid[kf_gid] = row
         self.n = row + 1
@@ -261,10 +353,16 @@ class LoopClosing:
             return self._log(kf_gid, loop_gid, best_score, n_matches,
                              n_inliers, err, False)
 
-        # ---- correction: rigid active-map re-anchor + PGO
+        # ---- correction: rigid active-map re-anchor + mappoint fusion + PGO
         C = se3.compose(se3.inverse(T_cw), T_corr)
         kf_new, lm_new = self._correct_active(m.kf_pose, m.lm_pos,
                                               m.lm_valid, C)
+        # loop KF's landmark snapshot, read BEFORE active rows ride the
+        # rigid move (the loop KF is outside the active window by the age
+        # gate — its snapshot stays anchored, like the reference's old KFs)
+        loop_lm_pos = self.lm_pos[best_row]
+        loop_lm_gid = self.lm_gid_db[best_row]
+        loop_lm_has = self.lm_has[best_row]
         # database landmark snapshots of active KFs ride the same rigid move
         Cinv = se3.inverse(C)
         for g in system.active_gids():
@@ -272,11 +370,19 @@ class LoopClosing:
             if r is not None:
                 self.lm_pos = self.lm_pos.at[r].set(
                     se3.transform(Cinv, self.lm_pos[r]))
-        system.apply_loop_correction(
-            self, m._replace(kf_pose=kf_new, lm_pos=lm_new), T_corr)
+
+        # fuse matched current landmarks into the loop KF's (PnP inliers
+        # only, like the reference's match_inliers set)
+        m_f, remap, old_gid, n_merged, n_adopted = self._fuse(
+            m._replace(kf_pose=kf_new, lm_pos=lm_new), feat,
+            jnp.asarray(best_j), jnp.asarray(ok) & res.inlier,
+            loop_lm_pos, loop_lm_gid, loop_lm_has, jnp.int32(loop_gid))
+        n_fused = int(n_merged) + int(n_adopted)
+        system.apply_loop_correction(self, m_f, T_corr,
+                                     relink=(remap, old_gid, m_f.lm_gid))
         self._pose_graph_optimize(system)
         return self._log(kf_gid, loop_gid, best_score, n_matches, n_inliers,
-                         err, True)
+                         err, True, n_fused)
 
     # ------------------------------------------------------------------
     def relocalize(self, pyr_l, xy: jnp.ndarray, valid: jnp.ndarray):

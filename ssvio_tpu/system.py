@@ -89,6 +89,31 @@ class System:
             self.loopclosing = None
 
     # ------------------------------------------------------------------
+    def reset(self):
+        """Return to the fresh INITING state without rebuilding the jitted
+        programs (re-tracing the chunk scan costs tens of seconds; state is
+        just arrays). Used by repeated benchmark loops and by drivers that
+        process several independent sequences in one process."""
+        self.map = mapmod.empty_map(self.s.max_window, self.s.max_landmarks)
+        self.status = fe.INITING
+        self.T_cw = se3.identity()
+        self.rel_motion = se3.identity()
+        self.feat = fe.empty_feat_state(self.s.max_features)
+        self.last_pyr = None
+        self.frame_id = -1
+        self._lc_T_ref = None
+        self._kf_cache = None
+        self.trajectory = []
+        self.keyframes = []
+        self.kf_rel_edges = []
+        self.stats = {"n_keyframes": 0, "n_loops": 0, "track_ms": []}
+        if self.loopclosing is not None:
+            from ssvio_tpu.loopclosing import LoopClosing
+            self.loopclosing = LoopClosing(
+                self.s, self.frontend._fx, self.frontend._fy,
+                self.frontend._cx, self.frontend._cy)
+
+    # ------------------------------------------------------------------
     def _pad_np(self, img: np.ndarray, out: np.ndarray) -> None:
         """Edge-pad one image into a preallocated [self.h, self.w] buffer."""
         h, w = img.shape
@@ -316,6 +341,8 @@ class System:
                 self._lc_T_ref = None
                 if ev is not None and ev.corrected:
                     self.stats["n_loops"] += 1
+                    self.stats["n_fused"] = (self.stats.get("n_fused", 0)
+                                             + ev.n_fused)
 
         # LOST at the chunk boundary: attempt relocalization on the chunk's
         # last frame (the in-chunk scan dead-ends on LOST for determinism;
@@ -416,6 +443,8 @@ class System:
                 self, int(kf_gid), pyr_l, self.feat, self.map, self.T_cw)
             if ev is not None and ev.corrected:
                 self.stats["n_loops"] += 1
+                self.stats["n_fused"] = (self.stats.get("n_fused", 0)
+                                         + ev.n_fused)
 
     # ------------------------------------------------------------------
     def _record_keyframe(self, kf_gid: int, timestamp: float):
@@ -456,11 +485,17 @@ class System:
         kf_valid = np.asarray(self.map.kf_valid)
         return [int(g) for g, v in zip(kf_gid, kf_valid) if v]
 
-    def apply_loop_correction(self, loopclosing, corrected_map, T_corr):
+    def apply_loop_correction(self, loopclosing, corrected_map, T_corr,
+                              relink=None):
         """Install the rigidly re-anchored active map + corrected current
         pose (reference CorrectActivateKeyframeAndMappoint writes the map
         under the map-update mutex, loopclosing.cpp:378-456; here it is a
         between-frames state swap).
+
+        `relink` = (slot_remap, pre-fusion lm_gid, post-fusion lm_gid) from
+        mappoint fusion: the live feature set follows its fused landmarks
+        to their new slots/identities so future tracking and keyframes
+        reuse the loop's landmarks (reference loopclosing.cpp:428-453).
 
         In chunked mode (_lc_T_ref set) the corrected keyframe may lie a
         few frames behind the current pose; the current pose rides the same
@@ -468,6 +503,8 @@ class System:
         window got, so when T_ref == current pose this reduces exactly to
         T_cw = T_corr (the per-frame behavior)."""
         self.map = corrected_map
+        if relink is not None:
+            self.feat = loopclosing.remap_feat(self.feat, *relink)
         if self._lc_T_ref is not None:
             C = se3.compose(se3.inverse(jnp.asarray(self._lc_T_ref)),
                             jnp.asarray(T_corr))

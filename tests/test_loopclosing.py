@@ -75,6 +75,73 @@ def test_correct_active_rigid_invariance():
         np.testing.assert_allclose(after, before, atol=1e-4)
 
 
+def test_mappoint_fusion_merge_and_adopt():
+    """Fusion at loop correction (reference loopclosing.cpp:428-453):
+    a duplicate of a still-resident loop landmark is MERGED (obs rows
+    union, duplicate retired — landmark count shrinks by the match count);
+    a departed loop landmark is ADOPTED in place (position + identity
+    overwritten, BA-fixed via lm_first_kf)."""
+    from ssvio_tpu import frontend as fe
+    from ssvio_tpu import map as mapmod
+    from ssvio_tpu.loopclosing import LoopClosing
+
+    W, M, F = 4, 16, 8
+    m = mapmod.empty_map(W, M)
+    # slot 0: the resident loop landmark (gid 0), observed by kf slot 0
+    # slot 1: its drifted duplicate (gid 5), observed by kf slot 1
+    # slot 2: a drifted landmark (gid 7) whose loop twin left the window
+    m = m._replace(
+        lm_pos=m.lm_pos.at[0].set(jnp.array([1.0, 2.0, 3.0]))
+                        .at[1].set(jnp.array([1.1, 2.1, 3.1]))
+                        .at[2].set(jnp.array([5.0, 5.0, 5.0])),
+        lm_valid=m.lm_valid.at[:3].set(True),
+        lm_gid=m.lm_gid.at[0].set(0).at[1].set(5).at[2].set(7),
+        lm_first_kf=m.lm_first_kf.at[:3].set(3),
+        obs_valid=m.obs_valid.at[0, 0, 0].set(True)
+                             .at[1, 1, 0].set(True)
+                             .at[2, 1, 0].set(True),
+        obs_uv=m.obs_uv.at[1, 1, 0].set(jnp.array([10.0, 20.0])))
+
+    feat = fe.empty_feat_state(F)
+    feat = feat._replace(
+        lm_slot=feat.lm_slot.at[0].set(1).at[1].set(2),
+        lm_gid=feat.lm_gid.at[0].set(5).at[1].set(7),
+        valid=feat.valid.at[:2].set(True))
+
+    # loop KF snapshot: feature 0 carries resident gid 0; feature 1 carries
+    # gid 99 (not in the active map) at the corrected position
+    loop_pos = jnp.zeros((F, 3)).at[1].set(jnp.array([4.0, 4.0, 4.0]))
+    loop_gid = jnp.full((F,), -1, jnp.int32).at[0].set(0).at[1].set(99)
+    loop_has = jnp.zeros((F,), bool).at[:2].set(True)
+    best_j = jnp.arange(F, dtype=jnp.int32)
+    ok = jnp.zeros((F,), bool).at[:2].set(True)
+
+    n_before = int(jnp.sum(m.lm_valid))
+    m2, remap, old_gid, n_merged, n_adopted = LoopClosing._fuse_impl(
+        m, feat, best_j, ok, loop_pos, loop_gid, loop_has, jnp.int32(42))
+
+    assert int(n_merged) == 1 and int(n_adopted) == 1
+    # MERGE: duplicate slot 1 retired -> count shrinks by the merge count
+    assert int(jnp.sum(m2.lm_valid)) == n_before - 1
+    assert not bool(m2.lm_valid[1])
+    # its observation row moved onto the resident slot 0 (BA consumes it)
+    assert bool(m2.obs_valid[0, 0, 0]) and bool(m2.obs_valid[0, 1, 0])
+    np.testing.assert_allclose(np.asarray(m2.obs_uv[0, 1, 0]), [10.0, 20.0])
+    assert not bool(jnp.any(m2.obs_valid[1]))
+    # ADOPT: slot 2 overwritten with the loop landmark, BA-fixed
+    np.testing.assert_allclose(np.asarray(m2.lm_pos[2]), [4.0, 4.0, 4.0])
+    assert int(m2.lm_gid[2]) == 99 and int(m2.lm_first_kf[2]) == 42
+    prob = mapmod.ba_problem_from_map(m2)
+    assert bool(prob.lm_fixed[2])
+
+    # feature re-link follows the fusion
+    feat2 = LoopClosing.remap_feat(feat, remap, old_gid, m2.lm_gid)
+    assert int(feat2.lm_slot[0]) == 0 and int(feat2.lm_gid[0]) == 0
+    assert int(feat2.lm_slot[1]) == 2 and int(feat2.lm_gid[1]) == 99
+    # untouched features keep their links
+    assert int(feat2.lm_slot[2]) == -1
+
+
 @pytest.mark.slow
 def test_loop_closes_on_circular_trajectory():
     """Full engine on a closed circle: the revisit must fire a loop event
