@@ -206,10 +206,13 @@ def _loop_accuracy_bench(s, chunk):
 
     FX, FY, CX, CY = (s.cam_left.fx, s.cam_left.fy, s.cam_left.cx,
                       s.cam_left.cy)
+    # 5 laps + a quarter-lap revisit: at KITTI resolution with sensor
+    # noise the VO drifts ~0.2-0.3 m/lap, crossing the reference's (1, 15)
+    # correction-acceptance window around lap 5 (a single clean lap closes
+    # to ~0.3 m — nothing for loop closing to do; measured 2026-08)
     n = 288
-    # circle + 1/4 overlap so the start area is revisited
     circ = synthetic.loop_trajectory(n, radius=10.0)
-    poses = np.concatenate([circ, circ[:n // 4]], axis=0)
+    poses = np.concatenate([circ] * 5 + [circ[:n // 4]], axis=0)
     n_frames = (len(poses) // chunk) * chunk
     poses = poses[:n_frames]
     world = synthetic.SyntheticWorld(seed=11, wall_x=24.0, ceiling_y=-8.0)
@@ -217,13 +220,21 @@ def _loop_accuracy_bench(s, chunk):
     sys_ = System(s, enable_backend=True, enable_loop_closing=True)
     dev_L, dev_R = synthetic_jax.render_stereo_sequence_device(
         world, poses, FX, FY, CX, CY, s.baseline, s.image_width,
-        s.image_height, pad_w=sys_.w, pad_h=sys_.h, chunk=chunk)
+        s.image_height, pad_w=sys_.w, pad_h=sys_.h, chunk=chunk,
+        noise_std=2.0)
     jax.block_until_ready((dev_L, dev_R))
 
     out = {}
+    # cold pass: loop-closing jit compiles + vocabulary self-training.
+    # The timed loop_on pass below reuses the vocabulary (reset(keep_vocab)
+    # — the production analog of loading a pretrained ORBvoc, which is what
+    # the reference does) so its fps reflects steady-state loop closing.
+    t0 = time.time()
+    _run_pass(sys_, dev_L, dev_R, n_frames)
+    cold_s = time.time() - t0
     for tag, loop_on in (("loop_on", True), ("loop_off", False)):
+        sys_.reset(keep_vocab=True)
         if not loop_on:
-            sys_.reset()
             sys_.loopclosing = None     # same engine, loop closing disabled
         t0 = time.time()
         _run_pass(sys_, dev_L, dev_R, n_frames)
@@ -232,13 +243,23 @@ def _loop_accuracy_bench(s, chunk):
         gids = [k["frame_id"] for k in sys_.keyframes]
         gt = poses[gids]
         stats = ate.ape_translation(est[:, :, 3], gt[:, :, 3])
-        end_err = float(np.linalg.norm(est[-1][:, 3] - gt[-1][:, 3]))
+        # drift metric: fix the gauge on the first quarter (where drift is
+        # negligible), then measure the end-of-revisit error — the
+        # accumulated drift loop closing is supposed to remove. A raw
+        # unaligned end error would mostly measure the unobservable global
+        # gauge, not drift.
+        q = max(4, len(gids) // 4)
+        _, Rm, t = ate.umeyama_alignment(est[:q, :, 3], gt[:q, :, 3])
+        est_al = est[:, :, 3] @ Rm.T + t
+        end_drift = float(np.linalg.norm(est_al[-1] - gt[-1][:, 3]))
         out[tag] = {"ate_rmse_m": round(stats["rmse"], 3),
-                    "end_err_m": round(end_err, 3),
+                    "end_drift_m": round(end_drift, 3),
                     "n_keyframes": len(gids),
                     "fps": round(n_frames / wall, 1)}
         if loop_on:
             out[tag]["n_loops"] = sys_.stats["n_loops"]
+            out[tag]["n_fused"] = sys_.stats.get("n_fused", 0)
+    out["cold_s"] = round(cold_s, 1)    # compiles + vocab self-training
     return out
 
 

@@ -9,6 +9,12 @@ validates the sharding and measures the compute/communication split, not
 real ICI bandwidth.
 
 Usage: python scripts/profile_scaling.py [M_landmarks]
+       python scripts/profile_scaling.py --engine [M_landmarks]
+
+--engine profiles the FULL engine keyframe step (pyramid + LK + pose-LM +
+keyframe insert + sliding-window BA) with the map's landmark axis sharded
+over each mesh via Engine(mesh=...) — the engine-integrated GSPMD path,
+as opposed to the standalone shard_map BA above.
 """
 import os
 import sys
@@ -63,7 +69,90 @@ def build_problem(M, W=12, seed=0):
     return prob, (fx, fy, cx, cy, baseline)
 
 
+def engine_mode():
+    """Full engine keyframe step across mesh sizes (Engine(mesh=...))."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ssvio_tpu import engine as eng
+    from ssvio_tpu import frontend as fe
+    from ssvio_tpu import map as mapmod
+    from ssvio_tpu.config import Settings
+    from ssvio_tpu.ops import se3
+
+    M = int(sys.argv[2]) if len(sys.argv) > 2 else 8192
+    s = Settings()
+    fxv = 360.0
+    s.cam_left = dataclasses.replace(s.cam_left, fx=fxv, fy=fxv,
+                                     cx=128.0, cy=64.0)
+    s.cam_right = dataclasses.replace(s.cam_right, fx=fxv, fy=fxv,
+                                      cx=128.0, cy=64.0)
+    s.image_width, s.image_height = 256, 128
+    s.baseline_fx = 0.54 * fxv
+    s.max_features = 256
+    s.max_landmarks = M
+    s.max_window = 12
+    s.tracking_good = 10 ** 9        # force the keyframe + BA branch
+    s.tracking_bad = -1
+    s.lk_backend = "xla"             # CPU mesh
+    s.detect_octaves = 2
+    front = fe.Frontend(s, s.image_width, s.image_height)
+
+    rng = np.random.default_rng(0)
+    img0 = jnp.asarray(rng.uniform(0, 255, (128, 256)).astype(np.float32))
+    img1 = jnp.asarray(rng.uniform(0, 255, (128, 256)).astype(np.float32))
+    n = s.max_features
+    feat = fe.FeatState(
+        xy=jnp.asarray(np.stack([rng.uniform(20, 236, n),
+                                 rng.uniform(20, 108, n)], -1)
+                       .astype(np.float32)),
+        lm_slot=jnp.arange(n, dtype=jnp.int32),
+        lm_gid=jnp.arange(n, dtype=jnp.int32),
+        valid=jnp.ones((n,), bool),
+        octave=jnp.zeros((n,), jnp.int32))
+    lm_pos = jnp.asarray(np.stack([rng.uniform(-5, 5, M),
+                                   rng.uniform(-2, 2, M),
+                                   rng.uniform(5, 40, M)], -1)
+                         .astype(np.float32))
+
+    devices = jax.devices("cpu")
+    results = {}
+    for nd in (1, 2, 4, 8):
+        mesh = dist_ba.make_mesh(devices[:nd])
+        engine = eng.Engine(front, enable_backend=True, mesh=mesh)
+        lm_sh = NamedSharding(mesh, P("lm"))
+        m = mapmod.empty_map(s.max_window, M)
+        m = m._replace(
+            lm_pos=jax.device_put(lm_pos, lm_sh),
+            lm_valid=jax.device_put(jnp.ones((M,), bool), lm_sh),
+            lm_gid=jax.device_put(jnp.arange(M, dtype=jnp.int32), lm_sh),
+            lm_first_kf=jax.device_put(jnp.zeros((M,), jnp.int32), lm_sh),
+            obs_uv=jax.device_put(m.obs_uv, lm_sh),
+            obs_valid=jax.device_put(m.obs_valid, lm_sh))
+        carry = eng.EngineCarry(
+            pyr_last=front._build_pyramid(img0), feat=feat,
+            T_cw=jnp.asarray(se3.identity()),
+            rel_motion=jnp.asarray(se3.identity()), m=m,
+            status=jnp.int32(fe.TRACKING_GOOD))
+        c2, out = engine.run_frame(carry, img1, img1)   # compile + warmup
+        jax.block_until_ready(c2.T_cw)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            c2, out = engine.run_frame(carry, img1, img1)
+        jax.block_until_ready(c2.T_cw)
+        dt = (time.time() - t0) / reps
+        results[nd] = dt
+        eff = results[1] / (nd * dt)
+        print(f"devices={nd}  {dt*1e3:8.1f} ms/engine-step (KF+BA branch)  "
+              f"speedup={results[1]/dt:5.2f}x  efficiency={100*eff:5.1f}%")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--engine":
+        engine_mode()
+        return
     M = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     prob, (fx, fy, cx, cy, baseline) = build_problem(M)
     devices = jax.devices("cpu")

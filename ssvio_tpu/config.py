@@ -62,6 +62,9 @@ class Settings:
     n_levels: int = 8
     ini_th_fast: int = 20
     min_th_fast: int = 7
+    # scale-covariant detection octave count; 0 = n_levels (reference
+    # parity, orbextractor.cpp:572-676), 1 = level-0 only (cheapest)
+    detect_octaves: int = 0
 
     min_init_landmarks: int = 200       # Min.Init.Landmark.Num
 
@@ -77,9 +80,18 @@ class Settings:
     # a pre-trained ORBvoc.txt + unbounded containers; we self-train and
     # pre-allocate — see ssvio_tpu/loopclosing.py)
     max_keyframes_db: int = 1024        # keyframe database capacity
-    loop_desc_scales: int = 3           # descriptor pyramid scales per KF
+    # descriptor ladder octaves per KF (scale_factor^l, l < loop_desc_scales;
+    # reference replicates keypoints across all 8 ORB octaves,
+    # loopclosing.cpp:605-619)
+    loop_desc_scales: int = 8
     vocab_k: int = 10                   # vocabulary branching factor
-    vocab_levels: int = 3               # vocabulary depth (k^L words)
+    vocab_levels: int = 3               # warm-up vocabulary depth (k^L words)
+    # the warm-up tree (trained on ~50 KFs) saturates on long sequences;
+    # once the database holds vocab_retrain_at keyframes it is retrained
+    # at vocab_deep_levels (k=10 L=4 -> 10k words; the reference's ORBvoc
+    # is k=10 L=6 over millions of net images, TemplatedVocabulary.h:408)
+    vocab_retrain_at: int = 200         # 0 disables deepening
+    vocab_deep_levels: int = 4
     loop_min_age: int = 20              # candidate must be >= this many KFs old
     # (reference loopclosing.cpp:84-90)
     loop_min_gap: int = 5               # KFs between closures (:657-669)
@@ -107,6 +119,10 @@ class Settings:
     # loses to serial on real texture because the group exits at the max of
     # 8 keypoints' iteration counts)
     lk_kernel: str = "serial"
+    # LK execution path: 'auto' = Pallas kernel on TPU / XLA elsewhere;
+    # 'xla' forces the vmapped XLA path (needed when the DEFAULT backend is
+    # a TPU but the engine runs on a CPU mesh, e.g. multichip dryruns)
+    lk_backend: str = "auto"
     grid_cell: int = 32                 # detection grid cell size (spread heuristic)
     # triangulation depth cap as a multiple of the baseline. The reference
     # accepts any positive depth (frontend.cpp:496-544); without its

@@ -68,6 +68,7 @@ class SyntheticWorld:
 
     def __init__(self, seed: int = 0, ground_y: float = 1.6, wall_x: float = 8.0,
                  ceiling_y: float = -6.0):
+        self.seed = seed
         self.ground_y = ground_y
         self.wall_x = wall_x
         self.ceiling_y = ceiling_y
@@ -150,14 +151,14 @@ def loop_trajectory(n_frames: int, radius: float = 12.0) -> np.ndarray:
     return poses
 
 
-def render_stereo_sequence(world: SyntheticWorld, poses_wc: np.ndarray,
-                           fx: float, fy: float, cx: float, cy: float,
-                           baseline: float, width: int, height: int
-                           ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
-    """Render (left_images, right_images) along a [N,3,4] T_wc trajectory.
-
-    Right camera center sits at +baseline along the left camera's x axis.
-    """
+def render_stereo_sequence_numpy(world: SyntheticWorld, poses_wc: np.ndarray,
+                                 fx: float, fy: float, cx: float, cy: float,
+                                 baseline: float, width: int, height: int
+                                 ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Pure-numpy raycast render (the f64 oracle the JAX renderer is
+    parity-tested against, tests/test_synthetic_jax.py). ~3.4 s per
+    KITTI-resolution stereo pair — use render_stereo_sequence below unless
+    you specifically need this path."""
     lefts, rights = [], []
     for T in poses_wc:
         lefts.append(world.render(T, fx, fy, cx, cy, width, height))
@@ -165,3 +166,45 @@ def render_stereo_sequence(world: SyntheticWorld, poses_wc: np.ndarray,
         T_r[:3, 3] = T[:3, 3] + T[:3, :3] @ np.array([baseline, 0.0, 0.0])
         rights.append(world.render(T_r, fx, fy, cx, cy, width, height))
     return lefts, rights
+
+
+def render_stereo_sequence(world: SyntheticWorld, poses_wc: np.ndarray,
+                           fx: float, fy: float, cx: float, cy: float,
+                           baseline: float, width: int, height: int,
+                           cache: bool = True
+                           ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+    """Render (left_images, right_images) along a [N,3,4] T_wc trajectory.
+
+    Right camera center sits at +baseline along the left camera's x axis.
+
+    Delegates to the jitted JAX renderer (dataio.synthetic_jax — same
+    world, pixel-parity tested) with an on-disk cache keyed on the full
+    render configuration, so repeated test/bench invocations don't re-pay
+    the render. Float32 [H, W] frames in [0, 255], like the numpy oracle.
+    """
+    import hashlib
+    import os
+
+    poses_wc = np.ascontiguousarray(np.asarray(poses_wc, np.float32))
+    h = hashlib.sha1()
+    h.update(np.asarray([world.seed, world.ground_y, world.wall_x,
+                         world.ceiling_y, fx, fy, cx, cy, baseline,
+                         width, height], np.float64).tobytes())
+    h.update(poses_wc.tobytes())
+    path = os.path.join(os.path.expanduser("~"), ".cache", "ssvio_tpu",
+                        "seqs", h.hexdigest()[:20] + ".npz")
+    if cache and os.path.exists(path):
+        z = np.load(path)
+        return list(z["L"]), list(z["R"])
+
+    from ssvio_tpu.dataio import synthetic_jax
+    L, R = synthetic_jax.render_stereo_sequence_device(
+        world, poses_wc, fx, fy, cx, cy, baseline, width, height, u8=False)
+    L = np.asarray(L)
+    R = np.asarray(R)
+    if cache:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}.npz"
+        np.savez_compressed(tmp, L=L, R=R)
+        os.replace(tmp, path)
+    return list(L), list(R)

@@ -131,25 +131,45 @@ def _render_one(w: WorldArrays, T_wc, fx, fy, cx, cy, width: int,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "pad_w",
-                                             "pad_h", "supersample", "u8"))
+                                             "pad_h", "supersample", "u8",
+                                             "noise_std"))
 def render_stereo_chunk(w: WorldArrays, poses_wc, fx, fy, cx, cy, baseline,
                         width: int, height: int, pad_w: int = 0,
                         pad_h: int = 0, supersample: int = 2,
-                        u8: bool = True):
+                        u8: bool = True, noise_std: float = 0.0,
+                        key=None, frame0=0):
     """Render a [K,3,4] T_wc pose chunk -> (left [K,h,w], right [K,h,w]).
 
     `pad_w`/`pad_h` edge-pad to the engine's device dims (System._pad
     semantics) so the output feeds dispatch_chunk directly with no host
     round-trip. u8=True returns camera-native uint8 (what KITTI provides).
+
+    `noise_std` > 0 adds per-pixel Gaussian sensor noise (gray levels) at
+    native resolution, deterministic per global frame index (`frame0` +
+    chunk offset, independent per eye) — the clean raycast renders LK
+    tracks to sub-0.05 px accuracy and the resulting trajectories barely
+    drift, which makes loop-closing benchmarks vacuous; real sensors
+    don't behave that way.
     """
     pw = pad_w or width
     ph = pad_h or height
+    if noise_std > 0.0 and key is None:
+        raise ValueError("noise_std > 0 needs a PRNG `key`")
+    K = poses_wc.shape[0]
+    idx = frame0 + jnp.arange(K, dtype=jnp.int32)
+    keys = (jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
+            if noise_std > 0.0 else jnp.zeros((K, 2), jnp.uint32))
 
-    def one(T):
+    def one(args):
+        T, k = args
         L = _render_one(w, T, fx, fy, cx, cy, width, height, supersample)
         T_r_t = T[:, 3] + T[:, :3] @ jnp.array([1.0, 0.0, 0.0]) * baseline
         T_r = jnp.concatenate([T[:, :3], T_r_t[:, None]], axis=1)
         R = _render_one(w, T_r, fx, fy, cx, cy, width, height, supersample)
+        if noise_std > 0.0:
+            kl, kr = jax.random.split(k)
+            L = L + noise_std * jax.random.normal(kl, L.shape, L.dtype)
+            R = R + noise_std * jax.random.normal(kr, R.shape, R.dtype)
 
         def pad(img):
             img = jnp.pad(img, ((0, ph - height), (0, pw - width)),
@@ -157,24 +177,28 @@ def render_stereo_chunk(w: WorldArrays, poses_wc, fx, fy, cx, cy, baseline,
             return jnp.clip(img, 0, 255).astype(jnp.uint8) if u8 else img
         return pad(L), pad(R)
 
-    return jax.lax.map(one, poses_wc)
+    return jax.lax.map(one, (poses_wc, keys))
 
 
 def render_stereo_sequence_device(world: syn.SyntheticWorld, poses_wc,
                                   fx, fy, cx, cy, baseline, width, height,
                                   pad_w: int = 0, pad_h: int = 0,
-                                  chunk: int = 32, u8: bool = True):
+                                  chunk: int = 32, u8: bool = True,
+                                  noise_std: float = 0.0,
+                                  noise_seed: int = 0):
     """Render a whole trajectory into device HBM, `chunk` frames per
     dispatch (bounds the supersampled intermediate VMEM/HBM footprint).
     Returns (left [N,h,w], right [N,h,w]) device arrays."""
     w = world_arrays(world)
     poses_wc = jnp.asarray(np.asarray(poses_wc, np.float32))
     n = poses_wc.shape[0]
+    key = jax.random.PRNGKey(noise_seed) if noise_std > 0.0 else None
     outs_l, outs_r = [], []
     for c in range(0, n, chunk):
         L, R = render_stereo_chunk(
             w, poses_wc[c:c + chunk], fx, fy, cx, cy, baseline,
-            width, height, pad_w, pad_h, u8=u8)
+            width, height, pad_w, pad_h, u8=u8, noise_std=noise_std,
+            key=key, frame0=c)
         outs_l.append(L)
         outs_r.append(R)
     return jnp.concatenate(outs_l), jnp.concatenate(outs_r)

@@ -67,14 +67,39 @@ def _sel(pred, a, b):
 
 class Engine:
     """Owns the jitted chunk program. Stateless apart from compile caches;
-    all SLAM state lives in the EngineCarry the caller threads through."""
+    all SLAM state lives in the EngineCarry the caller threads through.
 
-    def __init__(self, frontend: fe.Frontend, enable_backend: bool):
+    `mesh`: optional jax.sharding.Mesh with a 'lm' axis. When set, the
+    landmark-indexed map arrays (positions, validity, the [M, W, 2]
+    observation table) are sharding-constrained over that axis INSIDE the
+    chunk program, so GSPMD partitions the BA linearization/Schur
+    reduction across devices and inserts the ICI collectives (psum of the
+    [W,6,6] pose blocks) automatically — the engine-integrated form of
+    parallel/dist_ba's explicit shard_map path (SURVEY §2.3; BASELINE
+    configs 4-5). Tracking gathers stay replicated (they touch ~N of M
+    rows per frame)."""
+
+    def __init__(self, frontend: fe.Frontend, enable_backend: bool,
+                 mesh=None):
         self.fe = frontend
         self.s = frontend.s
         self.enable_backend = enable_backend
+        self.mesh = mesh
         self.run_chunk = jax.jit(self._run_chunk)
         self.run_frame = jax.jit(self._step)
+
+    # ------------------------------------------------------------------
+    def _lm_sharded(self, m: mapmod.MapState) -> mapmod.MapState:
+        """Constrain landmark-axis arrays of the map onto the mesh."""
+        if self.mesh is None:
+            return m
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        lm = NamedSharding(self.mesh, P("lm"))
+        c = functools.partial(jax.lax.with_sharding_constraint)
+        return m._replace(
+            lm_pos=c(m.lm_pos, lm), lm_valid=c(m.lm_valid, lm),
+            lm_gid=c(m.lm_gid, lm), lm_first_kf=c(m.lm_first_kf, lm),
+            obs_uv=c(m.obs_uv, lm), obs_valid=c(m.obs_valid, lm))
 
     # ------------------------------------------------------------------
     def _kf_insert(self, pyr_l, pyr_r, m, feat, T_cw, run_ba: bool):
@@ -87,7 +112,7 @@ class Engine:
         feat2, m2, kf_slot, kf_gid, n_created = f._keyframe_step(
             pyr_l, pyr_r, feat, T_cw, m)
         if run_ba:
-            prob = mapmod.ba_problem_from_map(m2)
+            prob = mapmod.ba_problem_from_map(self._lm_sharded(m2))
             res = ba.local_ba(prob, f._fx, f._fy, f._cx, f._cy, f._baseline)
             m2 = mapmod.apply_ba_result(m2, res.kf_T_cw, res.lm_pos,
                                         res.obs_valid)

@@ -63,17 +63,19 @@ class FeatState(NamedTuple):
     re-targets every stale feature pointing at it — the new observations
     then poison the BA observation table (measured: catastrophic window
     rotations on circular trajectories)."""
-    xy: jnp.ndarray        # [N, 2]
+    xy: jnp.ndarray        # [N, 2] (level-0 pixel coords)
     lm_slot: jnp.ndarray   # [N] int32 landmark slot in MapState (-1 none)
     lm_gid: jnp.ndarray    # [N] int32 landmark generation id (-1 none)
     valid: jnp.ndarray     # [N] bool
+    octave: jnp.ndarray    # [N] int32 detection octave (0 = base scale)
 
 
 def empty_feat_state(n: int) -> FeatState:
     return FeatState(xy=jnp.zeros((n, 2), jnp.float32),
                      lm_slot=jnp.full((n,), -1, jnp.int32),
                      lm_gid=jnp.full((n,), -1, jnp.int32),
-                     valid=jnp.zeros((n,), bool))
+                     valid=jnp.zeros((n,), bool),
+                     octave=jnp.zeros((n,), jnp.int32))
 
 
 class TrackOut(NamedTuple):
@@ -98,7 +100,8 @@ class Frontend:
         self.n_feat = s.max_features
         self.lk_params = lk.LKParams(window=s.lk_window, levels=s.lk_levels,
                                      iters=s.lk_iters, eps=s.lk_eps,
-                                     kernel=s.lk_kernel)
+                                     kernel=s.lk_kernel,
+                                     backend=getattr(s, "lk_backend", "auto"))
         # stereo disparities (fx*b/z) are much larger than temporal flow;
         # one extra pyramid level widens the zero-seed basin accordingly
         self.lk_params_stereo = self.lk_params._replace(levels=s.lk_levels + 1)
@@ -175,7 +178,8 @@ class Frontend:
         # their mappoints as outliers, frontend.cpp:283-294 — our GC happens
         # at the map level when observations disappear)
         feat_out = FeatState(xy=new_xy, lm_slot=feat.lm_slot,
-                             lm_gid=feat.lm_gid, valid=tracked & res.inlier)
+                             lm_gid=feat.lm_gid, valid=tracked & res.inlier,
+                             octave=feat.octave)
         rel = se3.compose(res.T_cw, se3.inverse(T_last))
         return TrackOut(feat_out, res.T_cw, rel, res.n_inliers)
 
@@ -186,6 +190,11 @@ class Frontend:
         Existing valid features are compacted to the front; fresh FAST
         detections (blocked within +-10 px of existing ones,
         reference frontend.cpp:304-312) fill the remaining slots.
+        Detection is scale-covariant: per-octave FAST over the 1.2^L
+        geometric pyramid with coordinates mapped to level 0 and the octave
+        recorded per feature (reference ComputeKeyPointsOctTree,
+        orbextractor.cpp:572-676; set Settings.detect_octaves=1 for the old
+        single-scale behavior).
         Returns (FeatState, is_new [N] bool).
         """
         N = self.n_feat
@@ -194,16 +203,29 @@ class Frontend:
         yy = jax.lax.broadcasted_iota(jnp.int32, (self.h, self.w), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (self.h, self.w), 1)
         border = (xx < 16) | (xx >= self.rw - 16) | (yy < 16) | (yy >= self.rh - 16)
-        det_xy, det_resp, det_valid = fast.detect_grid(
-            img, max_kps=N, cell=self.s.grid_cell,
-            ini_threshold=float(self.s.ini_th_fast),
-            min_threshold=float(self.s.min_th_fast),
-            occupancy=occ | border, kps_per_cell=max_new_per_cell)
+        n_oct = self.s.detect_octaves or self.s.n_levels
+        if n_oct > 1:
+            orb_pyr = pyramid.build_orb_pyramid(img, n_oct,
+                                                self.s.scale_factor)
+            det_xy, det_resp, det_oct, det_valid = fast.detect_multiscale(
+                orb_pyr, self.s.scale_factor, max_kps=N,
+                cell=self.s.grid_cell,
+                ini_threshold=float(self.s.ini_th_fast),
+                min_threshold=float(self.s.min_th_fast),
+                occupancy=occ | border, kps_per_cell=max_new_per_cell)
+        else:
+            det_xy, det_resp, det_valid = fast.detect_grid(
+                img, max_kps=N, cell=self.s.grid_cell,
+                ini_threshold=float(self.s.ini_th_fast),
+                min_threshold=float(self.s.min_th_fast),
+                occupancy=occ | border, kps_per_cell=max_new_per_cell)
+            det_oct = jnp.zeros((N,), jnp.int32)
 
         order = jnp.argsort(~feat.valid, stable=True)     # valid first
         ex_xy = feat.xy[order]
         ex_lm = feat.lm_slot[order]
         ex_gid = feat.lm_gid[order]
+        ex_oct = feat.octave[order]
         ex_valid = feat.valid[order]
         n_exist = jnp.sum(ex_valid.astype(jnp.int32))
         slot_idx = jnp.arange(N, dtype=jnp.int32)
@@ -215,9 +237,11 @@ class Frontend:
         xy = jnp.where(new_ok[:, None], det_xy[new_idx], ex_xy)
         lm_slot = jnp.where(new_ok, -1, jnp.where(ex_valid, ex_lm, -1))
         lm_gid = jnp.where(new_ok, -1, jnp.where(ex_valid, ex_gid, -1))
+        octave = jnp.where(new_ok, det_oct[new_idx],
+                           jnp.where(ex_valid, ex_oct, 0))
         valid = ex_valid | new_ok
         return FeatState(xy=xy, lm_slot=lm_slot, lm_gid=lm_gid,
-                         valid=valid), new_ok
+                         valid=valid, octave=octave), new_ok
 
     # ------------------------------------------------------------------
     def _stereo_match(self, pyr_l, pyr_r, feat: FeatState, T_cw, lm_pos,
@@ -291,6 +315,7 @@ class Frontend:
         feat3 = FeatState(xy=feat2.xy,
                           lm_slot=jnp.where(lm_slots >= 0, lm_slots, feat2.lm_slot),
                           lm_gid=jnp.where(lm_slots >= 0, new_gid, feat2.lm_gid),
-                          valid=feat2.valid & ((feat2.lm_slot >= 0) | (lm_slots >= 0)))
+                          valid=feat2.valid & ((feat2.lm_slot >= 0) | (lm_slots >= 0)),
+                          octave=feat2.octave)
         n_created = jnp.sum((lm_slots >= 0).astype(jnp.int32))
         return feat3, m3, kf_slot, kf_gid, n_created

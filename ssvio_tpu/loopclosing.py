@@ -88,12 +88,15 @@ class LoopClosing:
         self.n = 0
 
         self.vocab: Optional[bow.Vocabulary] = None
+        self._vocab_levels = s.vocab_levels   # depth of the CURRENT tree
         self.last_closed_gid = -(10 ** 9)
         self.loop_edges: List[tuple] = []   # (gid_i, gid_j, Z [3,4] np)
         self.events: List[LoopEvent] = []
         self._rng_key = jax.random.PRNGKey(17)
 
         self._describe = jax.jit(self._describe_impl)
+        self._refresh_rows = jax.jit(self._refresh_rows_impl,
+                                     donate_argnums=(0,))
         self._store = jax.jit(self._store_impl,
                               donate_argnums=(0, 1, 2, 3, 4, 5, 6))
         self._store_bow = jax.jit(lambda db, row, v: db.at[row].set(v),
@@ -108,11 +111,17 @@ class LoopClosing:
     # ------------------------------------------------------------------
     def _describe_impl(self, pyr: List[jnp.ndarray], xy: jnp.ndarray,
                        valid: jnp.ndarray):
+        # geometric 1.2^l ladder (the reference replicates every keypoint
+        # across its 8 ORB octaves for loop descriptors,
+        # loopclosing.cpp:605-619 + ComputePyramid orbextractor.cpp:993-1027;
+        # Settings.loop_desc_scales octaves of Settings.scale_factor here)
+        sf = self.s.scale_factor
+        ladder = pyramid.build_orb_pyramid(pyr[0], self.S, sf)
         descs, vals = [], []
         for l in range(self.S):
-            img = pyramid.blur(pyr[l], sigma=2.0, radius=3)  # pre-descriptor
+            img = pyramid.blur(ladder[l], sigma=2.0, radius=3)  # pre-descriptor
             # blur (reference orbextractor.cpp:962)
-            xy_l = xy / (2.0 ** l)
+            xy_l = xy / (sf ** l)
             h, w = img.shape
             inb = sampling.in_bounds(xy_l, h, w, border=22.0)
             ang = orb.ic_angle(img, xy_l)
@@ -127,6 +136,50 @@ class LoopClosing:
         return (desc_db.at[row].set(desc), desc_valid.at[row].set(dval),
                 kp_xy.at[row].set(xy), lm_pos.at[row].set(lmp),
                 lm_has.at[row].set(lmh), lm_gid_db.at[row].set(lmg), bow_db)
+
+    # ------------------------------------------------------------------
+    # snapshot freshness: a database row's landmark positions are frozen
+    # at ingest, but local BA keeps refining those landmarks while their
+    # keyframe is still in the active window. The reference's mappoints
+    # are LIVE objects (loop PnP sees their current positions,
+    # loopclosing.cpp:149-174); without this refresh, a "correction"
+    # computed against creation-time triangulations encodes the snapshot's
+    # error — measured on a 5-lap synthetic run: a drift-free trajectory
+    # (loop-off ATE 0.33 m) was corrupted to 5.5 m by one such correction.
+    # Rows are refreshed on every ingest while their KF stays active, so
+    # by eviction they hold the final post-BA positions (inactive
+    # mappoints stop improving in the reference too).
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _refresh_rows_impl(db_pos, db_gid, rows, m_lm_pos, m_lm_gid,
+                           m_lm_valid):
+        """db_pos [cap, F, 3] <- live positions for rows' landmarks found
+        (by gid) in the active map. rows [R] int32, -1 lanes are dropped."""
+        cap = db_pos.shape[0]
+
+        def one(row):
+            gids = db_gid[jnp.clip(row, 0, cap - 1)]           # [F]
+            eq = ((m_lm_gid[None, :] == gids[:, None])
+                  & m_lm_valid[None, :] & (gids[:, None] >= 0))  # [F, M]
+            found = jnp.any(eq, axis=1)
+            live = m_lm_pos[jnp.argmax(eq, axis=1)]
+            return jnp.where(found[:, None], live,
+                             db_pos[jnp.clip(row, 0, cap - 1)])
+
+        new_rows = jax.vmap(one)(rows)                         # [R, F, 3]
+        safe = jnp.where(rows >= 0, rows, cap)
+        return db_pos.at[safe].set(new_rows, mode="drop")
+
+    def _refresh_active_snapshots(self, system, m: mapmod.MapState):
+        rows = [self.row_of_gid[g] for g in system.active_gids()
+                if g in self.row_of_gid]
+        if not rows:
+            return
+        R = self.s.max_window
+        rows = (rows + [-1] * R)[:R]
+        self.lm_pos = self._refresh_rows(
+            self.lm_pos, self.lm_gid_db, jnp.asarray(rows, jnp.int32),
+            m.lm_pos, m.lm_gid, m.lm_valid)
 
     # ------------------------------------------------------------------
     # matching (reference MatchFeatures :105-145)
@@ -274,6 +327,10 @@ class LoopClosing:
             return None
         row = self.n
 
+        # pull BA-refined positions into the snapshots of still-active rows
+        # (see _refresh_rows_impl — loop PnP must see live landmarks)
+        self._refresh_active_snapshots(system, m)
+
         # landmark snapshot for this KF's features (world frame + identity)
         lm_idx = jnp.clip(feat.lm_slot, 0, m.lm_pos.shape[0] - 1)
         lm_has = feat.valid & (feat.lm_slot >= 0) & m.lm_valid[lm_idx]
@@ -294,10 +351,16 @@ class LoopClosing:
         # db_min_size anyway, reference loopclosing.cpp:48)
         if self.vocab is None:
             if self.n >= s.loop_db_min_size:
-                self._train_vocab()
+                self._train_vocab(s.vocab_levels)
             return None
+        # deepen once the database outgrows the warm-up tree (1000 words
+        # saturate on long sequences; retrain k=10 L=vocab_deep_levels)
+        if (s.vocab_retrain_at
+                and self._vocab_levels < s.vocab_deep_levels
+                and self.n >= s.vocab_retrain_at):
+            self._train_vocab(s.vocab_deep_levels)
 
-        v = bow.transform(self.vocab, desc, dval, s.vocab_levels)
+        v = bow.transform(self.vocab, desc, dval, self._vocab_levels)
         self.bow_db = self._store_bow(self.bow_db, row, v)
 
         # ---- gates (DetectLoop :72-103 + InsertNewKeyFrame :657-669)
@@ -406,7 +469,7 @@ class LoopClosing:
         if hasattr(pyr_l, "levels"):
             pyr_l = pyr_l.levels
         desc, dval = self._describe(pyr_l, xy, valid)
-        v = bow.transform(self.vocab, desc, dval, s.vocab_levels)
+        v = bow.transform(self.vocab, desc, dval, self._vocab_levels)
         row_ok = jnp.asarray(self.db_gid[:self.cap] >= 0)
         scores = bow.score_l1_database(v, self.bow_db, row_ok)
         best_row = int(jnp.argmax(scores))
@@ -435,19 +498,23 @@ class LoopClosing:
         return ev
 
     # ------------------------------------------------------------------
-    def _train_vocab(self):
+    def _train_vocab(self, levels: int):
+        """(Re)train the vocabulary at `levels` depth from all stored
+        keyframe descriptors, reallocate the BoW database for the new word
+        count, and back-fill vectors for every stored keyframe."""
         s = self.s
         docs = []
         dv = np.asarray(self.desc_valid[:self.n])
         dd = np.asarray(self.desc_db[:self.n])
         for i in range(self.n):
             docs.append(dd[i][dv[i]])
-        self.vocab = bow.train(docs, k=s.vocab_k, levels=s.vocab_levels,
-                               seed=7)
-        # back-fill BoW vectors for all stored keyframes
+        self.vocab = bow.train(docs, k=s.vocab_k, levels=levels, seed=7)
+        self._vocab_levels = levels
+        # word count is the tree's ACTUAL leaf count (<= k^L)
+        self.bow_db = jnp.zeros((self.cap, self.vocab.n_words), jnp.float32)
         for i in range(self.n):
             v = bow.transform(self.vocab, self.desc_db[i], self.desc_valid[i],
-                              s.vocab_levels)
+                              levels)
             self.bow_db = self._store_bow(self.bow_db, i, v)
 
     # ------------------------------------------------------------------

@@ -53,8 +53,11 @@ def _has_contiguous_run(mask_bits: jnp.ndarray, run: int) -> jnp.ndarray:
     return acc != 0
 
 
-def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """FAST-9 corner response for every pixel of [H, W].
+def fast_score_maps(img: jnp.ndarray, thresholds) -> list:
+    """FAST-9 corner response maps for every pixel of [H, W], one per
+    threshold, sharing the 16 ring shifts (the bulk of the computation and
+    of the emitted HLO — the two-threshold fallback and the 8-octave
+    detector would otherwise re-emit them per threshold per octave).
 
     Score = max over (bright, dark) of sum(|ring - center| - t) over the
     qualifying arc's pixels (OpenCV-compatible flavor of the FAST score —
@@ -62,10 +65,11 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     preserves ranking for NMS/top-K purposes). Non-corners score 0.
     """
     center = img
-    t = jnp.float32(threshold)
     ring = jnp.stack([_shift2d(img, int(dy), int(dx)) for dy, dx in RING_OFFSETS])
-    brighter = ring > (center + t)[None]          # [16, H, W]
-    darker = ring < (center - t)[None]
+    h, w = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    border = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
 
     def arc_mask(cmp: jnp.ndarray) -> jnp.ndarray:
         bits = jnp.zeros(img.shape, dtype=jnp.uint32)
@@ -73,20 +77,26 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
             bits = bits | (cmp[i].astype(jnp.uint32) << i)
         return _has_contiguous_run(bits, ARC_LEN)
 
-    is_bright_corner = arc_mask(brighter)
-    is_dark_corner = arc_mask(darker)
+    out = []
+    for threshold in thresholds:
+        t = jnp.float32(threshold)
+        brighter = ring > (center + t)[None]          # [16, H, W]
+        darker = ring < (center - t)[None]
+        is_bright_corner = arc_mask(brighter)
+        is_dark_corner = arc_mask(darker)
+        diff = jnp.abs(ring - center[None]) - t
+        bright_score = jnp.sum(jnp.where(brighter, diff, 0.0), axis=0)
+        dark_score = jnp.sum(jnp.where(darker, diff, 0.0), axis=0)
+        score = jnp.maximum(jnp.where(is_bright_corner, bright_score, 0.0),
+                            jnp.where(is_dark_corner, dark_score, 0.0))
+        # kill the 3px border (ring would read padding)
+        out.append(jnp.where(border, score, 0.0))
+    return out
 
-    diff = jnp.abs(ring - center[None]) - t
-    bright_score = jnp.sum(jnp.where(brighter, diff, 0.0), axis=0)
-    dark_score = jnp.sum(jnp.where(darker, diff, 0.0), axis=0)
-    score = jnp.maximum(jnp.where(is_bright_corner, bright_score, 0.0),
-                        jnp.where(is_dark_corner, dark_score, 0.0))
-    # kill the 3px border (ring would read padding)
-    h, w = img.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    border = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(border, score, 0.0)
+
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Single-threshold FAST-9 response map (see fast_score_maps)."""
+    return fast_score_maps(img, [threshold])[0]
 
 
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
@@ -119,8 +129,9 @@ def detect_grid(img: jnp.ndarray, max_kps: int, cell: int = 32,
     Returns (xy [max_kps, 2] float32, response [max_kps], valid [max_kps]).
     """
     h, w = img.shape
-    score_hi = nms3x3(fast_score_map(img, ini_threshold))
-    score_lo = nms3x3(fast_score_map(img, min_threshold))
+    raw_hi, raw_lo = fast_score_maps(img, [ini_threshold, min_threshold])
+    score_hi = nms3x3(raw_hi)
+    score_lo = nms3x3(raw_lo)
     if occupancy is not None:
         score_hi = jnp.where(occupancy, 0.0, score_hi)
         score_lo = jnp.where(occupancy, 0.0, score_lo)
@@ -166,6 +177,97 @@ def detect_grid(img: jnp.ndarray, max_kps: int, cell: int = 32,
         top_vals = jnp.pad(top_vals, (0, max_kps - k))
         valid = jnp.pad(valid, (0, max_kps - k))
     return xy, top_vals, valid
+
+
+def detect_multiscale(pyr, scale_factor: float, max_kps: int,
+                      cell: int = 32, ini_threshold: float = 20.0,
+                      min_threshold: float = 7.0,
+                      occupancy: jnp.ndarray | None = None,
+                      kps_per_cell: int = 4, dedupe_cell: int = 4,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                 jnp.ndarray]:
+    """Scale-covariant grid FAST over a geometric pyramid.
+
+    Mirrors the reference's per-octave detection (ComputeKeyPointsOctTree,
+    reference orbextractor.cpp:572-676: FAST with the two-threshold
+    fallback inside fixed-size cells AT EVERY OCTAVE, keypoints mapped back
+    to level-0 coordinates with their octave recorded) with the same
+    per-level keypoint budget split (proportional to 1/scale^l, the
+    reference's mnFeaturesPerLevel geometric series, orbextractor.cpp's
+    constructor).
+
+    TPU-first deviations: grid top-K per octave instead of the quad-tree
+    (same goal — spatial spread), and cross-octave duplicates (one physical
+    corner firing at several scales) resolved by a scatter-max over a
+    `dedupe_cell`-px level-0 grid — the winning octave's response survives,
+    a tracked feature set wants one point per corner (the reference keeps
+    multi-octave duplicates because its descriptors are per-octave; our
+    loop descriptors are computed over the full ladder per feature).
+
+    pyr: list of [Hl, Wl] images (pyramid.build_orb_pyramid order).
+    occupancy: optional [H0, W0] bool, blocked at level-0 (downsampled to
+      each octave).
+    Returns (xy0 [max_kps, 2] level-0 coords, response [max_kps],
+             octave [max_kps] int32, valid [max_kps]).
+    """
+    from ssvio_tpu.ops import pyramid as pyrmod
+    L = len(pyr)
+    h0, w0 = pyr[0].shape
+    inv = np.array([scale_factor ** -l for l in range(L)])
+    budgets = [max(8, int(round(max_kps * wl))) for wl in inv / inv.sum()]
+
+    xs, rs, os_, vs = [], [], [], []
+    for l in range(L):
+        img = pyr[l]
+        s = float(scale_factor ** l)
+        occ_l = None
+        if occupancy is not None:
+            if l == 0:
+                occ_l = occupancy
+            else:
+                hl, wl = img.shape
+                occ_l = pyrmod.resize_bilinear(
+                    occupancy.astype(jnp.float32), hl, wl) > 0.25
+        xy_l, resp_l, val_l = detect_grid(
+            img, max_kps=budgets[l], cell=cell,
+            ini_threshold=ini_threshold, min_threshold=min_threshold,
+            occupancy=occ_l, kps_per_cell=kps_per_cell)
+        xs.append(xy_l * s)
+        rs.append(resp_l)
+        os_.append(jnp.full((budgets[l],), l, jnp.int32))
+        vs.append(val_l)
+    xy0 = jnp.concatenate(xs)
+    resp = jnp.where(jnp.concatenate(vs), jnp.concatenate(rs), 0.0)
+    octv = jnp.concatenate(os_)
+
+    # cross-octave dedupe: best response per dedupe_cell wins
+    gx = jnp.clip(xy0[:, 0].astype(jnp.int32) // dedupe_cell, 0,
+                  w0 // dedupe_cell)
+    gy = jnp.clip(xy0[:, 1].astype(jnp.int32) // dedupe_cell, 0,
+                  h0 // dedupe_cell)
+    nx = w0 // dedupe_cell + 1
+    gi = gy * nx + gx
+    gmax = jnp.zeros(((h0 // dedupe_cell + 1) * nx,), resp.dtype)
+    gmax = gmax.at[gi].max(resp)
+    # strict winner per cell; exact-tie duplicates resolved by keeping the
+    # first (cheapest arg-tiebreak: penalize later candidates by index eps)
+    order_eps = jnp.arange(resp.shape[0], dtype=resp.dtype) * 1e-6
+    keyed = jnp.where(resp > 0, resp - order_eps, 0.0)
+    gbest = jnp.zeros_like(gmax).at[gi].max(keyed)
+    win = (keyed >= gbest[gi]) & (resp > 0)
+    resp_d = jnp.where(win, resp, 0.0)
+
+    k = min(max_kps, resp_d.shape[0])
+    top_vals, top_idx = jax.lax.top_k(resp_d, k)
+    out_xy = xy0[top_idx]
+    out_oct = octv[top_idx]
+    valid = top_vals > 0.0
+    if k < max_kps:
+        out_xy = jnp.pad(out_xy, ((0, max_kps - k), (0, 0)))
+        top_vals = jnp.pad(top_vals, (0, max_kps - k))
+        out_oct = jnp.pad(out_oct, (0, max_kps - k))
+        valid = jnp.pad(valid, (0, max_kps - k))
+    return out_xy, top_vals, out_oct, valid
 
 
 def build_occupancy(h: int, w: int, xy: jnp.ndarray, valid: jnp.ndarray,

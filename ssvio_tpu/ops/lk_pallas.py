@@ -415,10 +415,19 @@ def lk_level_vmem_pk(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-keypoint matmul-sampling KLT level. Same contract as
     lk_level_vmem; x_mm selects the second (x) matmul ('pkmm') over the
-    lane-roll + 2-term blend ('ymm')."""
+    lane-roll + 2-term blend ('ymm').
+
+    Hardware status: these kernel variants are validated in interpreter
+    mode (tests/test_lk_pallas.py) but are NOT the production default
+    ('vmem' is); compiled-TPU Mosaic behavior of the dynamic pltpu.roll on
+    a matmul result is unverified — confirm a compiled run before
+    switching Settings.lk_kernel to 'ymm'/'pkmm'."""
     n = pts_prev.shape[0]
     H, W = img_cur.shape
     assert H % 8 == 0 and H >= 32 and W % 128 == 0 and W >= LANES
+    # the two-hot interpolation matrices are [YR=16, ...]: rows beyond 16
+    # would be silently dropped, truncating the window (advisor finding)
+    assert win <= 16, f"lk_level_vmem_pk supports win <= 16, got {win}"
     kp = min(KP_PER_PROG, n)
     n_pad = -(-n // kp) * kp
     if n_pad != n:

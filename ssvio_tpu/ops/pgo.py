@@ -8,10 +8,10 @@ residual `log(Z^-1 X_i X_j^-1)` (reference include/ssvio/g2otypes.hpp:
 
 TPU-first: edges live in flat arrays (i, j, Z, valid); residuals and
 first-order SE3 Jacobians are one vmapped pass; the Gauss-Newton normal
-system is assembled by segment-sum into a dense [6P, 6P] block matrix and
-solved with a jittered Cholesky (pose counts here are a few thousand at
-most — a dense MXU solve beats sparse scalar factorizations on TPU; a
-structured CG path can replace it if P grows).
+system is solved dense (jittered Cholesky on the [6P, 6P] block matrix —
+an MXU solve beats sparse scalar factorizations on TPU at small P) up to
+DENSE_MAX_POSES, and with matrix-free Jacobi-preconditioned CG beyond
+(O(E) memory per matvec; KITTI-02-scale keyframe counts never build H).
 
 Jacobians use the standard second-order inverse-left-Jacobian
 approximation: J0 = Jl^{-1}(r) Ad(Z^{-1}), J1 = -Jr^{-1}(r), with
@@ -74,8 +74,11 @@ def _edge_residuals(poses, prob: PGOProblem):
     return r
 
 
-def _build_normal_system(poses, prob: PGOProblem, free_mask):
-    """Returns (H [P,6,P,6] dense, b [P,6], F cost)."""
+def _linearize_edges(poses, prob: PGOProblem, free_mask):
+    """Per-edge linearization shared by the dense and CG solvers.
+
+    Returns (r [E,6], w [E], J0 [E,6,6], J1 [E,6,6], b [P,6], F) with
+    fixed vertices' Jacobian blocks zeroed."""
     P = poses.shape[0]
     r = _edge_residuals(poses, prob)
     w = (prob.edge_valid
@@ -86,31 +89,52 @@ def _build_normal_system(poses, prob: PGOProblem, free_mask):
     AdZinv = se3.adjoint(se3.inverse(prob.edge_Z))
     J0 = Jl_inv @ AdZinv                            # [E, 6, 6]
     J1 = -_jr_inv(r)
-    # zero out fixed vertices' Jacobians
     J0 = J0 * free_mask[prob.edge_i][:, None, None]
     J1 = J1 * free_mask[prob.edge_j][:, None, None]
+    b0 = -jnp.einsum("eba,eb->ea", J0, r * w[:, None])
+    b1 = -jnp.einsum("eba,eb->ea", J1, r * w[:, None])
+    b = jnp.zeros((P, 6), dtype=poses.dtype)
+    b = b.at[prob.edge_i].add(b0)
+    b = b.at[prob.edge_j].add(b1)
+    return r, w, J0, J1, b, F
 
+
+def _build_normal_system(poses, prob: PGOProblem, free_mask):
+    """Returns (H [P,P,6,6] dense, b [P,6], F cost)."""
+    P = poses.shape[0]
+    _, w, J0, J1, b, F = _linearize_edges(poses, prob, free_mask)
     we = w[:, None, None]
     H00 = jnp.swapaxes(J0, -1, -2) @ J0 * we        # [E, 6, 6]
     H11 = jnp.swapaxes(J1, -1, -2) @ J1 * we
     H01 = jnp.swapaxes(J0, -1, -2) @ J1 * we
-    b0 = -jnp.einsum("eba,eb->ea", J0, r * w[:, None])
-    b1 = -jnp.einsum("eba,eb->ea", J1, r * w[:, None])
-
     H = jnp.zeros((P, P, 6, 6), dtype=poses.dtype)
     H = H.at[prob.edge_i, prob.edge_i].add(H00)
     H = H.at[prob.edge_j, prob.edge_j].add(H11)
     H = H.at[prob.edge_i, prob.edge_j].add(H01)
     H = H.at[prob.edge_j, prob.edge_i].add(jnp.swapaxes(H01, -1, -2))
-    b = jnp.zeros((P, 6), dtype=poses.dtype)
-    b = b.at[prob.edge_i].add(b0)
-    b = b.at[prob.edge_j].add(b1)
     return H, b, F
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+# above this pose count the dense [6P, 6P] factorization (P^2*36 floats:
+# ~600 MB at P=2048) gives way to the matrix-free CG solver
+DENSE_MAX_POSES = 512
+
+
 def optimize(prob: PGOProblem, iters: int = 20) -> jnp.ndarray:
-    """LM pose-graph optimization. Returns optimized poses [P, 3, 4]."""
+    """LM pose-graph optimization. Returns optimized poses [P, 3, 4].
+
+    Dispatches on problem size (a static shape, so each variant jits
+    once): dense Cholesky on the [6P, 6P] normal system up to
+    DENSE_MAX_POSES, matrix-free Jacobi-block-preconditioned CG beyond —
+    the TPU analog of the reference's sparse solve over ALL keyframes
+    (reference loopclosing.cpp:458-594, LinearSolverEigen)."""
+    if prob.poses.shape[0] <= DENSE_MAX_POSES:
+        return _optimize_dense(prob, iters=iters)
+    return _optimize_cg(prob, iters=iters)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _optimize_dense(prob: PGOProblem, iters: int = 20) -> jnp.ndarray:
     P = prob.poses.shape[0]
     free = (prob.pose_valid & ~prob.pose_fixed).astype(prob.poses.dtype)
 
@@ -139,6 +163,98 @@ def optimize(prob: PGOProblem, iters: int = 20) -> jnp.ndarray:
         poses = jnp.where(accept, poses_new, poses)
         lam = jnp.where(accept,
                         lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                        lam * nu)
+        nu = jnp.where(accept, 2.0, nu * 2.0)
+        return poses, lam, nu
+
+    poses, _, _ = jax.lax.fori_loop(0, iters, body,
+                                    (prob.poses, lam0, jnp.float32(2.0)))
+    return poses
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def _optimize_cg(prob: PGOProblem, iters: int = 20,
+                 cg_iters: int | None = None) -> jnp.ndarray:
+    """Large-P LM via matrix-free preconditioned CG.
+
+    Never materializes H: each CG matvec is two gathers + two batched
+    6x6 matmuls + two segment scatter-adds over the edge list (O(E)
+    memory). Preconditioner = per-pose Jacobi 6x6 blocks (batched
+    inverse). Information on a chain graph travels one vertex per CG
+    step, so the iteration cap defaults to P (with an early exit on
+    relative residual) — each matvec is tiny, the cap just bounds the
+    while_loop."""
+    P = prob.poses.shape[0]
+    if cg_iters is None:
+        cg_iters = 2 * P
+    free = (prob.pose_valid & ~prob.pose_fixed).astype(prob.poses.dtype)
+    ei, ej = prob.edge_i, prob.edge_j
+
+    def solve(J0, J1, w, lam, Minv, rhs):
+        def matvec(v):
+            u = (jnp.einsum("eab,eb->ea", J0, v[ei])
+                 + jnp.einsum("eab,eb->ea", J1, v[ej])) * w[:, None]
+            out = jnp.zeros_like(v)
+            out = out.at[ei].add(jnp.einsum("eba,eb->ea", J0, u))
+            out = out.at[ej].add(jnp.einsum("eba,eb->ea", J1, u))
+            return (out + lam * v) * free[:, None]
+
+        def prec(v):
+            return jnp.einsum("pab,pb->pa", Minv, v) * free[:, None]
+
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs                       # x0 = 0
+        z0 = prec(r0)
+        rz0 = jnp.sum(r0 * z0)
+        tol2 = 1e-10 * jnp.maximum(rz0, 1e-30)
+
+        def cond(c):
+            k, _, _, _, rz = c
+            return (k < cg_iters) & (rz > tol2)
+
+        def body(c):
+            k, x, r, p, rz = c
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = prec(r)
+            rz_new = jnp.sum(r * z)
+            p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+            return k + 1, x, r, p, rz_new
+
+        _, x, _, _, _ = jax.lax.while_loop(cond, body, (0, x0, r0, z0, rz0))
+        return x
+
+    def linearize(poses):
+        _, w, J0, J1, b, F = _linearize_edges(poses, prob, free)
+        D = jnp.zeros((P, 6, 6), dtype=poses.dtype)
+        we = w[:, None, None]
+        D = D.at[ei].add(jnp.swapaxes(J0, -1, -2) @ J0 * we)
+        D = D.at[ej].add(jnp.swapaxes(J1, -1, -2) @ J1 * we)
+        return w, J0, J1, b, F, D
+
+    _, _, _, _, _, D0 = linearize(prob.poses)
+    diag0 = jnp.abs(jnp.einsum("pii->pi", D0))
+    lam0 = 1e-5 * jnp.max(diag0) + 1e-8
+
+    def body(_, carry):
+        poses, lam, nu = carry
+        w, J0, J1, b, F, D = linearize(poses)
+        eye = jnp.eye(6, dtype=poses.dtype)
+        Minv = jnp.linalg.inv(D + (lam + 1e-8) * eye[None])
+        rhs = b * free[:, None]
+        dx = solve(J0, J1, w, lam, Minv, rhs) * free[:, None]
+        poses_new = se3.compose(se3.exp(dx), poses)
+        _, _, _, _, F_new, _ = linearize(poses_new)
+        pred = 0.5 * jnp.sum(dx.reshape(-1) * (lam * dx.reshape(-1)
+                                               + rhs.reshape(-1)))
+        rho = (F - F_new) / jnp.maximum(pred, 1e-12)
+        accept = (rho > 0) & jnp.all(jnp.isfinite(dx))
+        poses = jnp.where(accept, poses_new, poses)
+        lam = jnp.where(accept,
+                        lam * jnp.maximum(1.0 / 3.0,
+                                          1.0 - (2.0 * rho - 1.0) ** 3),
                         lam * nu)
         nu = jnp.where(accept, 2.0, nu * 2.0)
         return poses, lam, nu

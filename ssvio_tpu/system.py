@@ -40,10 +40,14 @@ class System:
         self._status_dev = None       # host write wins over the device mirror
 
     def __init__(self, settings: Settings | str, enable_backend: Optional[bool] = None,
-                 enable_loop_closing: Optional[bool] = None):
+                 enable_loop_closing: Optional[bool] = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with an 'lm' axis — shards
+        the sliding-window BA inside the engine across its devices (see
+        Engine docstring). Single-device semantics are unchanged."""
         if isinstance(settings, str):
             settings = Settings.from_yaml(settings)
         self.s = settings
+        self.mesh = mesh
         self.enable_backend = (settings.backend_open if enable_backend is None
                                else enable_backend)
         self.enable_loop = (settings.loop_closing_open if enable_loop_closing is None
@@ -89,11 +93,15 @@ class System:
             self.loopclosing = None
 
     # ------------------------------------------------------------------
-    def reset(self):
+    def reset(self, keep_vocab: bool = False):
         """Return to the fresh INITING state without rebuilding the jitted
         programs (re-tracing the chunk scan costs tens of seconds; state is
         just arrays). Used by repeated benchmark loops and by drivers that
-        process several independent sequences in one process."""
+        process several independent sequences in one process.
+
+        keep_vocab carries the trained BoW vocabulary into the fresh
+        loop-closing database (the production analog of the reference
+        LOADING a pretrained ORBvoc instead of retraining per sequence)."""
         self.map = mapmod.empty_map(self.s.max_window, self.s.max_landmarks)
         self.status = fe.INITING
         self.T_cw = se3.identity()
@@ -109,9 +117,16 @@ class System:
         self.stats = {"n_keyframes": 0, "n_loops": 0, "track_ms": []}
         if self.loopclosing is not None:
             from ssvio_tpu.loopclosing import LoopClosing
+            old = self.loopclosing
             self.loopclosing = LoopClosing(
                 self.s, self.frontend._fx, self.frontend._fy,
                 self.frontend._cx, self.frontend._cy)
+            if keep_vocab and old.vocab is not None:
+                lc = self.loopclosing
+                lc.vocab = old.vocab
+                lc._vocab_levels = old._vocab_levels
+                lc.bow_db = jnp.zeros((lc.cap, old.vocab.n_words),
+                                      jnp.float32)
 
     # ------------------------------------------------------------------
     def _pad_np(self, img: np.ndarray, out: np.ndarray) -> None:
@@ -253,7 +268,8 @@ class System:
         if timestamps is None:
             timestamps = [0.0] * K
         if self._engine is None:
-            self._engine = eng.Engine(self.frontend, self.enable_backend)
+            self._engine = eng.Engine(self.frontend, self.enable_backend,
+                                      mesh=self.mesh)
         if isinstance(lefts, jax.Array):        # pre-uploaded via upload_chunk
             imgs_l, imgs_r = lefts, rights
         else:

@@ -49,6 +49,7 @@ def save_checkpoint(system, path: str) -> None:
         "feat_lm_slot": np.asarray(system.feat.lm_slot),
         "feat_lm_gid": np.asarray(system.feat.lm_gid),
         "feat_valid": np.asarray(system.feat.valid),
+        "feat_octave": np.asarray(system.feat.octave),
         "trajectory_ts": np.asarray([t for t, _, _ in system.trajectory]),
         "trajectory_fid": np.asarray([f for _, f, _ in system.trajectory]),
         "trajectory_T": (np.stack([T for _, _, T in system.trajectory])
@@ -88,7 +89,10 @@ def load_checkpoint(system, path: str) -> None:
         xy=jnp.asarray(z["feat_xy"]),
         lm_slot=jnp.asarray(z["feat_lm_slot"]),
         lm_gid=jnp.asarray(z["feat_lm_gid"]),
-        valid=jnp.asarray(z["feat_valid"]))
+        valid=jnp.asarray(z["feat_valid"]),
+        # older checkpoints predate the octave field
+        octave=jnp.asarray(z["feat_octave"]) if "feat_octave" in z
+        else jnp.zeros(z["feat_valid"].shape, jnp.int32))
     system.status = int(meta["status"])
     system.frame_id = int(meta["frame_id"])
     system.stats.update(meta["stats"])

@@ -7,6 +7,7 @@ import dataclasses
 import time
 
 import numpy as np
+import pytest
 
 from ssvio_tpu.config import Settings
 from ssvio_tpu.dataio import synthetic
@@ -29,6 +30,7 @@ def _settings():
     return s
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_matches_continuous(tmp_path):
     s = _settings()
     world = synthetic.SyntheticWorld(seed=3)
@@ -62,6 +64,7 @@ def test_checkpoint_resume_matches_continuous(tmp_path):
     np.testing.assert_allclose(tc[:, :, 3], ta[:, :, 3], atol=0.05)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_chunked(tmp_path):
     s = _settings()
     world = synthetic.SyntheticWorld(seed=3)

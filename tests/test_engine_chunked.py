@@ -65,6 +65,7 @@ def test_chunked_matches_per_frame(seq):
     assert res["rmse"] < 0.3, res
 
 
+@pytest.mark.slow
 def test_chunked_handles_partial_and_sequential_chunks(seq):
     s, poses, L, R = seq
     sys_ = System(s, enable_backend=True, enable_loop_closing=False)
@@ -76,6 +77,7 @@ def test_chunked_handles_partial_and_sequential_chunks(seq):
     assert sys_.stats["n_keyframes"] >= 1      # at least the init keyframe
 
 
+@pytest.mark.slow
 def test_chunked_with_loop_closing_smoke(seq):
     """Loop closing path executes at chunk boundaries without error (full
     loop-closure correctness is covered by tests/test_loopclosing.py)."""

@@ -147,3 +147,67 @@ def test_match_brute_force_rejects_invalid(rng):
     valid_b = jnp.zeros(8, bool)
     _, _, ok = orb.match_brute_force(a, a, jnp.ones(8, bool), valid_b)
     assert not bool(jnp.any(ok))
+
+
+def test_detect_multiscale_sees_blurred_structure():
+    """Scale covariance (reference ComputeKeyPointsOctTree,
+    orbextractor.cpp:572-676): a large soft-gradient square (sigma=8 blur)
+    has NO level-0 FAST corners — its gradients are spread far beyond the
+    radius-3 ring — but the coarse octaves of the 1.2^8 pyramid must find
+    its corners, mapped back to level-0 coordinates."""
+    img = np.full((256, 256), 30.0, np.float32)
+    img[64:192, 64:192] = 220.0
+    img = cv2.GaussianBlur(img, (0, 0), 8.0)
+
+    lvl0 = np.asarray(fast.nms3x3(fast.fast_score_map(jnp.asarray(img), 20.0)))
+    assert (lvl0 > 0).sum() == 0, "blur too weak: level 0 sees corners"
+
+    pyr = pyramid.build_orb_pyramid(jnp.asarray(img), 8, 1.2)
+    xy, resp, octv, valid = fast.detect_multiscale(
+        pyr, 1.2, 64, ini_threshold=20.0, min_threshold=7.0)
+    v = np.asarray(valid)
+    assert v.sum() >= 8
+    octs = np.asarray(octv)[v]
+    assert octs.min() >= 3              # only coarse octaves can see it
+    # detections cluster at the true (level-0) corner positions
+    corners = np.array([[64, 64], [64, 192], [192, 64], [192, 192]],
+                       np.float32)
+    d = np.linalg.norm(np.asarray(xy)[v][:, None, :] - corners[None],
+                       axis=-1).min(axis=1)
+    assert np.median(d) < 16.0, d
+
+
+def test_multiscale_descriptor_zoom_matching(rng):
+    """Scale invariance across a 1.2x zoom via the descriptor ladder
+    (reference replicates keypoints over its 8 octaves for loop matching,
+    loopclosing.cpp:605-619): the same physical point described at octave
+    l of the original image and octave l+1 of the zoomed image must match
+    in Hamming distance, while the scale-mismatched and shuffled pairings
+    must not."""
+    I0 = textured(rng, 256, 256)
+    # I1(x, y) = I0(x/1.2, y/1.2): a 1.2x zoom about the origin
+    I1 = np.asarray(pyramid.resize_bilinear(jnp.asarray(I0[:214, :214]),
+                                            256, 256))
+    xy, _, val = fast.detect_grid(jnp.asarray(I0), 128, ini_threshold=20.0)
+    xy_np = np.asarray(xy)
+    keep = (np.asarray(val) & (xy_np[:, 0] > 30) & (xy_np[:, 0] < 150)
+            & (xy_np[:, 1] > 30) & (xy_np[:, 1] < 150))
+    kp = jnp.asarray(xy_np[keep][:48])
+    assert kp.shape[0] >= 10
+
+    b0 = pyramid.blur(jnp.asarray(I0), sigma=2.0, radius=3)
+    d0 = orb.compute_descriptors(b0, kp, orb.ic_angle(b0, kp))
+    ladder = pyramid.build_orb_pyramid(jnp.asarray(I1), 2, 1.2)
+    # position in I1 is 1.2*kp; at ladder octave 1 that is back to kp
+    b1 = pyramid.blur(ladder[1], sigma=2.0, radius=3)
+    d1 = orb.compute_descriptors(b1, kp, orb.ic_angle(b1, kp))
+    b1f = pyramid.blur(ladder[0], sigma=2.0, radius=3)
+    d1f = orb.compute_descriptors(b1f, kp * 1.2, orb.ic_angle(b1f, kp * 1.2))
+
+    right = np.median(np.asarray(orb.hamming_distance(d0, d1)))
+    mismatched = np.median(np.asarray(orb.hamming_distance(d0, d1f)))
+    shuffled = np.median(np.asarray(
+        orb.hamming_distance(d0, jnp.roll(d1, 7, axis=0))))
+    assert right < 45, right
+    assert right < mismatched - 20, (right, mismatched)
+    assert shuffled > 90, shuffled

@@ -103,3 +103,31 @@ def test_pgo_all_fixed_is_identity(rng):
     prob = prob._replace(pose_fixed=prob.pose_valid)
     out = np.asarray(pgo.optimize(prob, iters=5))
     np.testing.assert_allclose(out[:8], est, atol=1e-6)
+
+
+def test_pgo_cg_matches_dense(rng):
+    """The matrix-free CG path must reach the dense solution (same graph,
+    both well within their iteration budgets)."""
+    T_true, est, Zs = make_circle_graph(rng, n=40, drift=0.02)
+    prob = build_problem(T_true, est, Zs, [(39, 0), (20, 19)])
+    out_d = np.asarray(pgo._optimize_dense(prob, iters=20))
+    out_c = np.asarray(pgo._optimize_cg(prob, iters=20))
+    # both correct vs ground truth and mutually close
+    assert ate(out_c[:40], T_true) < ate(est, T_true) * 0.35
+    assert abs(ate(out_c[:40], T_true) - ate(out_d[:40], T_true)) < 0.02
+
+
+def test_pgo_large_p_uses_cg_and_converges(rng):
+    """P=2048 (KITTI-02 keyframe scale): the dense [6P,6P] factor would be
+    ~600 MB; optimize() must dispatch to CG and still close the loop."""
+    n = 600                      # valid poses; slots padded to 2048
+    T_true, est, Zs = make_circle_graph(rng, n=n, drift=0.01)
+    before = ate(est, T_true)
+    prob = build_problem(T_true, est, Zs, [(n - 1, 0), (n // 2, n // 2 - 1)],
+                         P=2048)
+    assert prob.poses.shape[0] > pgo.DENSE_MAX_POSES
+    out = np.asarray(pgo.optimize(prob, iters=15))
+    after = ate(out[:n], T_true)
+    assert np.all(np.isfinite(out))
+    assert before > 0.3
+    assert after < before * 0.35, (before, after)

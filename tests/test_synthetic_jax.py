@@ -13,7 +13,7 @@ def test_render_matches_numpy():
     W, H = 320, 120
     b = 0.5
 
-    L_np, R_np = synthetic.render_stereo_sequence(
+    L_np, R_np = synthetic.render_stereo_sequence_numpy(
         world, poses, fx, fy, cx, cy, b, W, H)
     L_j, R_j = synthetic_jax.render_stereo_sequence_device(
         world, poses, fx, fy, cx, cy, b, W, H, u8=False)

@@ -69,6 +69,7 @@ def test_system_tracks_straight_sequence_no_ba(straight_seq):
     assert abs(path_est - path_gt) / path_gt < 0.15, (path_est, path_gt)
 
 
+@pytest.mark.slow
 def test_system_with_backend_ba(straight_seq):
     L, R, gt = straight_seq
     s = small_settings(backend_open=True)
