@@ -181,26 +181,19 @@ def _make_kernel(win: int, pty: int, pcy: int, iters: int, eps: float,
     return kernel
 
 
-def _make_vmem_kernel(win: int, H: int, W: int, iters: int, eps: float,
-                      min_eig: float, kp: int):
-    """Kernel with the WHOLE level resident in VMEM (see lk_level_vmem)."""
+def _make_serial_vmem_kernel(win: int, H: int, W: int, iters: int, eps: float,
+                             min_eig: float, kp: int, make_sample):
+    """Shared serial per-keypoint KLT loop over VMEM-resident images.
 
-    def img_window(ref, bx_i, by_i):
-        """[win+1, win+1] window at dynamic global integer (bx, by).
-
-        Both offsets are reduced to a tile-aligned slab origin (lanes: 128,
-        sublanes: 8) + power-of-2 rotates, exactly as the HBM-patch kernel
-        does — but the load comes straight from the VMEM-resident image, so
-        there is NO per-keypoint DMA."""
-        base_y = jnp.minimum((by_i // 8) * 8, H - 32)
-        base_y = pl.multiple_of(base_y, 8)
-        base_x = jnp.minimum((bx_i // 128) * 128, W - LANES)
-        base_x = pl.multiple_of(base_x, 128)
-        slab = ref[pl.ds(base_y, 32), pl.ds(base_x, LANES)]
-        slab = pltpu.roll(slab, -(by_i - base_y), axis=0)
-        rolled = pltpu.roll(slab[:win + 1, :], -(bx_i - base_x), axis=1)
-        return rolled[:, :win + 1]
-
+    `make_sample(ref, bx_i, by_i, fx, fy)` returns the bilinearly sampled
+    window at dynamic (bx+fx, by+fy) — a [win, win] (or row/col-zero-padded)
+    plane. All downstream math (Harris gate, normal equations, while-loop
+    with individual early exit, freeze and output logic) is sampling-
+    agnostic: it is elementwise products + full-plane sums, so padded rows/
+    cols that the sampler leaves zero do not perturb the sums. Both
+    lk_level_vmem (roll+blend sampling) and lk_level_vmem_pk (two-hot
+    matmul sampling) build their kernels through this one factory, so the
+    loop logic cannot drift between variants (advisor finding, r2)."""
     lim_x = float(W - win - 2)       # python floats: the kernel must not
     lim_y = float(H - win - 2)       # close over traced constants
 
@@ -220,9 +213,9 @@ def _make_vmem_kernel(win: int, H: int, W: int, iters: int, eps: float,
             fty = ty - bty
             btx_i = btx.astype(jnp.int32)
             bty_i = bty.astype(jnp.int32)
-            T = _blend(img_window(prev_ref, btx_i, bty_i), ftx, fty, win)
-            Gx = _blend(img_window(gx_ref, btx_i, bty_i), ftx, fty, win)
-            Gy = _blend(img_window(gy_ref, btx_i, bty_i), ftx, fty, win)
+            T = make_sample(prev_ref, btx_i, bty_i, ftx, fty)
+            Gx = make_sample(gx_ref, btx_i, bty_i, ftx, fty)
+            Gy = make_sample(gy_ref, btx_i, bty_i, ftx, fty)
 
             gxx = jnp.sum(Gx * Gx)
             gxy = jnp.sum(Gx * Gy)
@@ -246,9 +239,8 @@ def _make_vmem_kernel(win: int, H: int, W: int, iters: int, eps: float,
                 by = jnp.clip(jnp.floor(ly), 0.0, lim_y)
                 fx = lx - bx
                 fy = ly - by
-                sub = img_window(cur_ref, bx.astype(jnp.int32),
-                                 by.astype(jnp.int32))
-                I = _blend(sub, fx, fy, win)
+                I = make_sample(cur_ref, bx.astype(jnp.int32),
+                                by.astype(jnp.int32), fx, fy)
                 diff = T - I
                 bxs = jnp.sum(diff * Gx)
                 bys = jnp.sum(diff * Gy)
@@ -275,13 +267,41 @@ def _make_vmem_kernel(win: int, H: int, W: int, iters: int, eps: float,
     return kernel
 
 
+def _make_vmem_kernel(win: int, H: int, W: int, iters: int, eps: float,
+                      min_eig: float, kp: int):
+    """Kernel with the WHOLE level resident in VMEM (see lk_level_vmem)."""
+
+    def img_window(ref, bx_i, by_i):
+        """[win+1, win+1] window at dynamic global integer (bx, by).
+
+        Both offsets are reduced to a tile-aligned slab origin (lanes: 128,
+        sublanes: 8) + power-of-2 rotates, exactly as the HBM-patch kernel
+        does — but the load comes straight from the VMEM-resident image, so
+        there is NO per-keypoint DMA."""
+        base_y = jnp.minimum((by_i // 8) * 8, H - 32)
+        base_y = pl.multiple_of(base_y, 8)
+        base_x = jnp.minimum((bx_i // 128) * 128, W - LANES)
+        base_x = pl.multiple_of(base_x, 128)
+        slab = ref[pl.ds(base_y, 32), pl.ds(base_x, LANES)]
+        slab = pltpu.roll(slab, -(by_i - base_y), axis=0)
+        rolled = pltpu.roll(slab[:win + 1, :], -(bx_i - base_x), axis=1)
+        return rolled[:, :win + 1]
+
+    def sample(ref, bx_i, by_i, fx, fy):
+        return _blend(img_window(ref, bx_i, by_i), fx, fy, win)
+
+    return _make_serial_vmem_kernel(win, H, W, iters, eps, min_eig, kp,
+                                    sample)
+
+
 def _make_vmem_pk_kernel(win: int, H: int, W: int, iters: int, eps: float,
                          min_eig: float, kp: int, x_mm: bool):
     """Per-keypoint matmul-sampling kernel (VMEM-resident images).
 
-    Same serial structure and individual early exit as _make_vmem_kernel,
-    but the per-iteration window sample replaces the [32, LANES] dynamic
-    sublane roll + 4-corner blend with ONE tiny MXU matmul:
+    Same serial structure and individual early exit as _make_vmem_kernel
+    (shared via _make_serial_vmem_kernel), but the per-iteration window
+    sample replaces the [32, LANES] dynamic sublane roll + 4-corner blend
+    with ONE tiny MXU matmul:
 
         sampled = By[16, 32] @ slab[32, LANES]
 
@@ -293,8 +313,6 @@ def _make_vmem_pk_kernel(win: int, H: int, W: int, iters: int, eps: float,
     that leaves a dense [16, 16] window for the residual math.
     """
     YR = 16                     # output rows: sublane-aligned, >= win
-    lim_x = float(W - win - 2)
-    lim_y = float(H - win - 2)
     f32 = jnp.float32
 
     def slab_base(bx_i, by_i):
@@ -336,72 +354,8 @@ def _make_vmem_pk_kernel(win: int, H: int, W: int, iters: int, eps: float,
         rolled = pltpu.roll(sampled, -(bx_i - base_x), axis=1)
         return (1.0 - fx) * rolled[:, :win] + fx * rolled[:, 1:win + 1]
 
-    def kernel(ptsT_ref, pts0_ref, frozen0_ref,       # scalar prefetch (SMEM)
-               prev_ref, gx_ref, gy_ref, cur_ref,     # whole level in VMEM
-               out_ref, flag_ref):                    # SMEM flat [2N], [N]
-        pid = pl.program_id(0)
-        r = win // 2
-        for b in range(kp):
-            i = pid * kp + b
-            tx = ptsT_ref[2 * i] - r
-            ty = ptsT_ref[2 * i + 1] - r
-            btx = jnp.clip(jnp.floor(tx), 0.0, lim_x)
-            bty = jnp.clip(jnp.floor(ty), 0.0, lim_y)
-            ftx = tx - btx
-            fty = ty - bty
-            btx_i = btx.astype(jnp.int32)
-            bty_i = bty.astype(jnp.int32)
-            T = sample(prev_ref, btx_i, bty_i, ftx, fty)
-            Gx = sample(gx_ref, btx_i, bty_i, ftx, fty)
-            Gy = sample(gy_ref, btx_i, bty_i, ftx, fty)
-
-            gxx = jnp.sum(Gx * Gx)
-            gxy = jnp.sum(Gx * Gy)
-            gyy = jnp.sum(Gy * Gy)
-            det = gxx * gyy - gxy * gxy
-            trace = gxx + gyy
-            me = (trace - jnp.sqrt(jnp.maximum(trace * trace - 4 * det,
-                                               0.0))) * 0.5
-            good_g = (me / (win * win)) > min_eig
-            inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-
-            def cond(carry):
-                it, lx, ly, frozen = carry
-                return (it < iters) & jnp.logical_not(frozen)
-
-            def body(carry, T=T, Gx=Gx, Gy=Gy, gxx=gxx, gxy=gxy, gyy=gyy,
-                     inv_det=inv_det):
-                it, lx, ly, frozen = carry
-                bx = jnp.clip(jnp.floor(lx), 0.0, lim_x)
-                by = jnp.clip(jnp.floor(ly), 0.0, lim_y)
-                fx = lx - bx
-                fy = ly - by
-                I = sample(cur_ref, bx.astype(jnp.int32),
-                           by.astype(jnp.int32), fx, fy)
-                diff = T - I
-                bxs = jnp.sum(diff * Gx)
-                bys = jnp.sum(diff * Gy)
-                dx = (gyy * bxs - gxy * bys) * inv_det
-                dy = (gxx * bys - gxy * bxs) * inv_det
-                nlx = lx + dx
-                nly = ly + dy
-                converged = dx * dx + dy * dy < eps * eps
-                oob = (nlx < 0.0) | (nly < 0.0) | (nlx > lim_x) | (nly > lim_y)
-                return it + 1, nlx, nly, converged | oob
-
-            lx0 = pts0_ref[2 * i] - r
-            ly0 = pts0_ref[2 * i + 1] - r
-            frozen0 = frozen0_ref[i] > 0
-            oob0 = (lx0 < 0.0) | (ly0 < 0.0) | (lx0 > lim_x) | (ly0 > lim_y)
-            _, lx, ly, _ = jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(0), lx0, ly0,
-                 frozen0 | oob0 | jnp.logical_not(good_g)))
-            out_ref[2 * i] = lx + r
-            out_ref[2 * i + 1] = ly + r
-            flag_ref[i] = good_g.astype(jnp.int32)
-
-    return kernel
+    return _make_serial_vmem_kernel(win, H, W, iters, eps, min_eig, kp,
+                                    sample)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "iters", "eps",
