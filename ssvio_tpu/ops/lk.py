@@ -52,12 +52,14 @@ class LKParams(NamedTuple):
     # interpreter mode (CPU parity tests).
     backend: str = "auto"
     # VMEM-resident kernel flavor: 'serial' = per-keypoint roll/blend kernel
-    # with individual early exit (default; fastest measured), 'ymm'/'pkmm' =
-    # serial structure but window sampling via two-hot interpolation
-    # matmuls (y only / both axes), 'mm' = lockstep matmul-sampling groups
-    # (bf16 matmuls, f32 accumulation), 'mm_f32' = same in full f32. 'mm'
-    # requires a Mosaic with mixed bf16->f32 tpu.matmul support; this
-    # image's rejects it ("Bad lhs type"), so prefer 'mm_f32' on hardware.
+    # with individual early exit (default; fastest measured), 'sw' = serial
+    # with the dynamic sublane roll replaced by a static-slice switch,
+    # 'ymm'/'pkmm' = serial structure but window sampling via two-hot
+    # interpolation matmuls (y only / both axes), 'mm' = lockstep
+    # matmul-sampling groups (bf16 matmuls, f32 accumulation), 'mm_f32' =
+    # same in full f32. 'mm' requires a Mosaic with mixed bf16->f32
+    # tpu.matmul support; this image's rejects it ("Bad lhs type"), so
+    # prefer 'mm_f32' on hardware.
     kernel: str = "serial"
 
 
@@ -151,6 +153,11 @@ def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
                 frozen0, win=win, iters=params.iters, eps=params.eps,
                 min_eig=params.min_eig, x_mm=(params.kernel == "pkmm"),
                 interpret=interpret)
+        elif params.kernel == "sw":
+            pts_out, flag = lk_pallas.lk_level_vmem_sw(
+                img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,
+                frozen0, win=win, iters=params.iters, eps=params.eps,
+                min_eig=params.min_eig, interpret=interpret)
         else:
             pts_out, flag = lk_pallas.lk_level_vmem(
                 img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,

@@ -410,6 +410,78 @@ def lk_level_vmem_pk(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
     return out[: 2 * n].reshape(n, 2), flag[:n].reshape(n, 1)
 
 
+def _make_vmem_sw_kernel(win: int, H: int, W: int, iters: int, eps: float,
+                         min_eig: float, kp: int):
+    """Serial kernel with the dynamic sublane roll replaced by a static-
+    slice switch (PERF.md lever: the [32, LANES] pltpu.roll on the sublane
+    axis is the costliest op of the serial loop; a lax.switch over the
+    sub-slab row offset selects one of 32-win-1 STATIC slices instead —
+    static sublane shifts compile to fixed shuffles, and only the selected
+    branch executes)."""
+    n_rem = 32 - win - 1          # row offset within the 8-aligned slab:
+                                  # 0..7 normally, up to 32-win-2 when the
+                                  # slab origin clamps at H-32
+
+    def img_window(ref, bx_i, by_i):
+        base_y = jnp.minimum((by_i // 8) * 8, H - 32)
+        base_y = pl.multiple_of(base_y, 8)
+        base_x = jnp.minimum((bx_i // 128) * 128, W - LANES)
+        base_x = pl.multiple_of(base_x, 128)
+        slab = ref[pl.ds(base_y, 32), pl.ds(base_x, LANES)]
+        rows = jax.lax.switch(
+            by_i - base_y,
+            [(lambda s: lambda: slab[s:s + win + 1, :])(s)
+             for s in range(n_rem)])
+        rolled = pltpu.roll(rows, -(bx_i - base_x), axis=1)
+        return rolled[:, :win + 1]
+
+    def sample(ref, bx_i, by_i, fx, fy):
+        return _blend(img_window(ref, bx_i, by_i), fx, fy, win)
+
+    return _make_serial_vmem_kernel(win, H, W, iters, eps, min_eig, kp,
+                                    sample)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "iters", "eps",
+                                             "min_eig", "interpret"))
+def lk_level_vmem_sw(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
+                     img_cur: jnp.ndarray, pts_prev: jnp.ndarray,
+                     pts_guess: jnp.ndarray, frozen0: jnp.ndarray,
+                     win: int, iters: int, eps: float, min_eig: float,
+                     interpret: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-slice-switch KLT level. Same contract as lk_level_vmem."""
+    n = pts_prev.shape[0]
+    H, W = img_cur.shape
+    assert H % 8 == 0 and H >= 32 and W % 128 == 0 and W >= LANES
+    kp = min(KP_PER_PROG, n)
+    n_pad = -(-n // kp) * kp
+    if n_pad != n:
+        d = n_pad - n
+        pts_prev = jnp.concatenate([pts_prev, jnp.zeros((d, 2), jnp.float32)])
+        pts_guess = jnp.concatenate([pts_guess, jnp.zeros((d, 2), jnp.float32)])
+        frozen0 = jnp.concatenate([frozen0, jnp.ones((d, 1), jnp.int32)])
+    kernel = _make_vmem_sw_kernel(win, H, W, iters, eps, min_eig, kp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pad // kp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+    )
+    out, flag = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((2 * n_pad,), jnp.float32),
+                   jax.ShapeDtypeStruct((n_pad,), jnp.int32)],
+        interpret=interpret,
+    )(pts_prev.reshape(-1), pts_guess.reshape(-1), frozen0.reshape(-1),
+      img_prev, gx, gy, img_cur)
+    return out[: 2 * n].reshape(n, 2), flag[:n].reshape(n, 1)
+
+
 # VMEM budget for the 4 resident planes (v5e has ~16 MiB more generally
 # shared with scratch; leave headroom for the compiler)
 VMEM_PLANE_BUDGET = 12 << 20

@@ -1,6 +1,7 @@
 """FAST detection + ORB descriptor tests against cv2 oracles and invariances."""
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -163,8 +164,12 @@ def test_detect_multiscale_sees_blurred_structure():
     assert (lvl0 > 0).sum() == 0, "blur too weak: level 0 sees corners"
 
     pyr = pyramid.build_orb_pyramid(jnp.asarray(img), 8, 1.2)
-    xy, resp, octv, valid = fast.detect_multiscale(
-        pyr, 1.2, 64, ini_threshold=20.0, min_threshold=7.0)
+    # jit the whole multi-octave program: eagerly it dispatches hundreds of
+    # small ops (~40 s of per-run tracing); jitted it compiles once into the
+    # persistent cache
+    det = jax.jit(lambda p: fast.detect_multiscale(
+        p, 1.2, 64, ini_threshold=20.0, min_threshold=7.0))
+    xy, resp, octv, valid = det(pyr)
     v = np.asarray(valid)
     assert v.sum() >= 8
     octs = np.asarray(octv)[v]

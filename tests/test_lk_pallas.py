@@ -3,6 +3,7 @@
 import cv2
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ssvio_tpu.ops import fast, lk, pyramid
 
@@ -55,6 +56,7 @@ def test_pallas_full_track_matches_xla(rng):
     np.testing.assert_allclose(np.median(flow, axis=0), [3.2, -2.1], atol=0.2)
 
 
+@pytest.mark.slow
 def test_mm_kernel_matches_xla(rng):
     """Matmul-sampling lockstep kernel (interpret mode, f32) vs XLA path."""
     img, img2, pts = _scene(rng)
@@ -73,8 +75,10 @@ def test_mm_kernel_matches_xla(rng):
                                np.asarray(out_x)[both], atol=0.05)
 
 
+@pytest.mark.slow
 def test_pk_kernels_match_xla(rng):
-    """Per-keypoint matmul-sampling kernels ('ymm', 'pkmm') vs XLA path."""
+    """Per-keypoint serial kernel variants ('ymm', 'pkmm' matmul sampling,
+    'sw' static-slice switch) vs XLA path."""
     img, img2, pts = _scene(rng)
     pyr1 = pyramid.build_lk_pyramid(jnp.asarray(img), 3)
     pyr2 = pyramid.build_lk_pyramid(jnp.asarray(img2), 3)
@@ -82,7 +86,7 @@ def test_pk_kernels_match_xla(rng):
     valid = jnp.ones(len(pts), bool)
     out_x, ok_x, _ = lk.track(pyr1, pyr2, p, p, valid,
                               lk.LKParams(backend="xla"))
-    for kern in ("ymm", "pkmm"):
+    for kern in ("ymm", "pkmm", "sw"):
         out_k, ok_k, _ = lk.track(pyr1, pyr2, p, p, valid,
                                   lk.LKParams(backend="pallas_interpret",
                                               kernel=kern))
@@ -93,9 +97,12 @@ def test_pk_kernels_match_xla(rng):
                                    err_msg=kern)
 
 
+@pytest.mark.slow
 def test_mm_kernel_bf16_close(rng):
     """bf16 sampling matmuls stay within a small fraction of a pixel of the
-    f32 result (quantized interpolation weights)."""
+    f32 result (quantized interpolation weights). Slow tier: the 'mm'
+    kernel is not the production default (needs a newer Mosaic on
+    hardware, see LKParams.kernel)."""
     img, img2, pts = _scene(rng)
     pyr1 = pyramid.build_lk_pyramid(jnp.asarray(img), 3)
     pyr2 = pyramid.build_lk_pyramid(jnp.asarray(img2), 3)

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ssvio_tpu.ops import pgo, se3
 
@@ -117,6 +118,7 @@ def test_pgo_cg_matches_dense(rng):
     assert abs(ate(out_c[:40], T_true) - ate(out_d[:40], T_true)) < 0.02
 
 
+@pytest.mark.slow
 def test_pgo_large_p_uses_cg_and_converges(rng):
     """P=2048 (KITTI-02 keyframe scale): the dense [6P,6P] factor would be
     ~600 MB; optimize() must dispatch to CG and still close the loop."""
