@@ -58,9 +58,14 @@ def _make_settings():
     return s
 
 
-def _run_pass(sys_, dev_L, dev_R, n_frames, t0_frame=0.0):
-    """One pipelined pass over HBM-resident frames. Returns (est poses
-    [N,3,4], per-chunk seconds)."""
+def _run_pass(sys_, dev_L, dev_R, n_frames, t0_frame=0.0, pipelined=True):
+    """One pass over HBM-resident frames. Returns (est poses [N,3,4],
+    per-chunk seconds).
+
+    pipelined=True dispatches chunk k+1 before collecting chunk k (the
+    fast path). With loop closing enabled this MUST be False: corrections
+    mutate the map between chunks, and a chunk already in flight would
+    have consumed the uncorrected state (System.dispatch_chunk contract)."""
     times = []
     est = []
     pending = None
@@ -68,13 +73,17 @@ def _run_pass(sys_, dev_L, dev_R, n_frames, t0_frame=0.0):
         t0 = time.time()
         h = sys_.dispatch_chunk(dev_L[c:c + CHUNK], dev_R[c:c + CHUNK],
                                 [t0_frame + 0.1 * (c + j) for j in range(CHUNK)])
-        if pending is not None:
-            est.append(sys_.collect_chunk(pending))
-        pending = h
+        if not pipelined:
+            est.append(sys_.collect_chunk(h))
+        else:
+            if pending is not None:
+                est.append(sys_.collect_chunk(pending))
+            pending = h
         times.append(time.time() - t0)
-    t0 = time.time()
-    est.append(sys_.collect_chunk(pending))
-    times[-1] += time.time() - t0
+    if pending is not None:
+        t0 = time.time()
+        est.append(sys_.collect_chunk(pending))
+        times[-1] += time.time() - t0
     return np.concatenate(est, axis=0), times
 
 
@@ -230,14 +239,15 @@ def _loop_accuracy_bench(s, chunk):
     # — the production analog of loading a pretrained ORBvoc, which is what
     # the reference does) so its fps reflects steady-state loop closing.
     t0 = time.time()
-    _run_pass(sys_, dev_L, dev_R, n_frames)
+    _run_pass(sys_, dev_L, dev_R, n_frames, pipelined=False)
     cold_s = time.time() - t0
     for tag, loop_on in (("loop_on", True), ("loop_off", False)):
         sys_.reset(keep_vocab=True)
         if not loop_on:
             sys_.loopclosing = None     # same engine, loop closing disabled
         t0 = time.time()
-        _run_pass(sys_, dev_L, dev_R, n_frames)
+        # loop closing mutates the map between chunks -> no dispatch-ahead
+        _run_pass(sys_, dev_L, dev_R, n_frames, pipelined=not loop_on)
         wall = time.time() - t0
         ts, est = sys_.keyframe_trajectory()
         gids = [k["frame_id"] for k in sys_.keyframes]

@@ -544,10 +544,18 @@ class LoopClosing:
             if gi in gid_to_idx:
                 fixed[gid_to_idx[gi]] = True
 
-        edges = [(gid_to_idx[a], gid_to_idx[b], Z)
+        # host records store (gid_prev, gid_cur, Z = T_cur * T_prev^-1);
+        # the PGO residual log(Z^-1 X_i X_j^-1) vanishes at Z = X_i X_j^-1,
+        # so the edge must be (i = CUR, j = PREV). Passing (prev, cur)
+        # hands the optimizer every relative pose INVERTED — a consistent
+        # input graph then reads as maximally violated and "optimizing" it
+        # deformed the whole record history (measured: a 103-KF 5-lap run
+        # with one accepted closure went from 0.33 m record ATE to 5.5 m,
+        # poses dragged up to 40 m; caught by the r3 loop-accuracy bench).
+        edges = [(gid_to_idx[b], gid_to_idx[a], Z)
                  for (a, b, Z) in system.kf_rel_edges
                  if a in gid_to_idx and b in gid_to_idx]
-        edges += [(gid_to_idx[a], gid_to_idx[b], Z)
+        edges += [(gid_to_idx[b], gid_to_idx[a], Z)
                   for (a, b, Z) in self.loop_edges
                   if a in gid_to_idx and b in gid_to_idx]
         E = _round_pow2(len(edges))
@@ -557,7 +565,6 @@ class LoopClosing:
         eZ[:, :, :3] = np.eye(3)
         ev = np.zeros(E, bool)
         for q, (a, b, Z) in enumerate(edges):
-            # edge residual log(Z^-1 X_i X_j^-1) with Z = T_i * T_j^-1
             ei[q], ej[q], eZ[q], ev[q] = a, b, Z, True
         prob = pgo.PGOProblem(
             poses=jnp.asarray(poses), pose_valid=jnp.asarray(pose_valid),

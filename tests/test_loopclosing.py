@@ -238,3 +238,66 @@ def test_loop_correction_through_chunked_path():
     err_end = float(np.linalg.norm(est[-1][:, 3] - gt[-1][:, 3]))
     assert peak > 5.0, peak
     assert err_end < 0.5 * peak, (err_end, peak)
+
+
+def test_pose_graph_optimize_edge_convention():
+    """_pose_graph_optimize must hand pgo.optimize edges in its (i=cur,
+    j=prev, Z = T_cur T_prev^-1) convention. Regression: the host records
+    store (gid_prev, gid_cur, Z); passing the gids through in storage order
+    inverts every relative pose, the optimizer then reads a consistent
+    graph as maximally violated and deforms the whole record history
+    (r3 loop-accuracy bench: one accepted closure, record ATE 0.33 -> 5.5 m).
+    Here: drifted-odometry circle records + one exact loop edge; PGO must
+    REDUCE the record error, never explode it."""
+    from ssvio_tpu.loopclosing import LoopClosing
+
+    rng = np.random.default_rng(5)
+    s = _small_settings()
+    lc = LoopClosing(s, s.cam_left.fx, s.cam_left.fy, s.cam_left.cx,
+                     s.cam_left.cy)
+
+    n = 40
+    T_true, Zs = [], []
+    for k in range(n):
+        ang = 2 * np.pi * k / n
+        c, si = np.cos(ang), np.sin(ang)
+        T_wc = np.array([[c, 0, si, 10 * si],
+                         [0, 1, 0, 0],
+                         [-si, 0, c, 10 * (1 - c)]], np.float32)
+        T_true.append(se3.inverse_np(T_wc))
+    for k in range(n - 1):
+        Z = se3.compose_np(T_true[k + 1], se3.inverse_np(T_true[k]))
+        noise = rng.normal(0, 0.02, 6).astype(np.float32)
+        noise[3:] *= 0.3
+        Zs.append(se3.compose_np(np.asarray(se3.exp(jnp.asarray(noise))), Z))
+    est = [T_true[0]]
+    for k in range(n - 1):
+        est.append(se3.compose_np(Zs[k], est[-1]))
+
+    class FakeSystem:
+        keyframes = [{"gid": k, "frame_id": k, "timestamp": 0.1 * k,
+                      "T_cw": est[k].copy()} for k in range(n)]
+        kf_rel_edges = [(k, k + 1, Zs[k]) for k in range(n - 1)]
+
+        def active_gids(self):
+            return [n - 1]          # "current" KF: corrected, held fixed
+
+        def on_pose_graph_updated(self):
+            pass
+
+    sys_ = FakeSystem()
+    # the corrected current KF record (what apply_loop_correction installs)
+    sys_.keyframes[-1]["T_cw"] = T_true[-1].copy()
+    lc.loop_edges = [(0, n - 1,
+                      se3.compose_np(T_true[-1], se3.inverse_np(T_true[0])))]
+
+    err_before = np.array([np.linalg.norm(r["T_cw"][:, 3] - T_true[k][:, 3])
+                           for k, r in enumerate(sys_.keyframes)])
+    lc._pose_graph_optimize(sys_)
+    err_after = np.array([np.linalg.norm(r["T_cw"][:, 3] - T_true[k][:, 3])
+                          for k, r in enumerate(sys_.keyframes)])
+    # drift reduced, and nothing deformed away from the input scale
+    assert err_after.mean() < 0.7 * err_before.mean(), (err_before.mean(),
+                                                        err_after.mean())
+    assert err_after.max() < err_before.max() + 0.1, (err_before.max(),
+                                                      err_after.max())
