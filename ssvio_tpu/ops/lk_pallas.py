@@ -371,11 +371,10 @@ def lk_level_vmem_pk(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
     lk_level_vmem; x_mm selects the second (x) matmul ('pkmm') over the
     lane-roll + 2-term blend ('ymm').
 
-    Hardware status: these kernel variants are validated in interpreter
-    mode (tests/test_lk_pallas.py) but are NOT the production default
-    ('vmem' is); compiled-TPU Mosaic behavior of the dynamic pltpu.roll on
-    a matmul result is unverified — confirm a compiled run before
-    switching Settings.lk_kernel to 'ymm'/'pkmm'."""
+    Hardware status: compiles and runs correctly on the v5e (verified
+    2026-08-21, scripts/profile_lk_kernels.py) but measures ~25% slower
+    than the serial roll/blend kernel on real texture — kept as a
+    measured-and-rejected alternative, not the production default."""
     n = pts_prev.shape[0]
     H, W = img_cur.shape
     assert H % 8 == 0 and H >= 32 and W % 128 == 0 and W >= LANES
@@ -450,7 +449,13 @@ def lk_level_vmem_sw(img_prev: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
                      win: int, iters: int, eps: float, min_eig: float,
                      interpret: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Static-slice-switch KLT level. Same contract as lk_level_vmem."""
+    """Static-slice-switch KLT level. Same contract as lk_level_vmem.
+
+    Measured on the v5e (2026-08-21): ~20% SLOWER than the dynamic-roll
+    serial kernel (23.6 vs 19.4 ms easy / 51.2 vs 45.2 ms hard per 4-rep
+    512-keypoint chain) — the per-iteration branch dispatch costs more
+    than the pow2 sublane roll it replaces. Kept as the measured answer
+    to PERF.md's 'static-slice switch' lever."""
     n = pts_prev.shape[0]
     H, W = img_cur.shape
     assert H % 8 == 0 and H >= 32 and W % 128 == 0 and W >= LANES
