@@ -142,19 +142,22 @@ def _track_level_pallas(img_prev, img_cur, gx, gy, pts_prev, pts_guess,
         frozen0 = (~valid | ~sampling.in_bounds(pts_guess, h, w, border=r + 1)) \
             .astype(jnp.int32)[:, None]
         if params.kernel in ("mm", "mm_f32"):
-            pts_out, flag = lk_pallas.lk_level_vmem_mm(
+            from ssvio_tpu.ops import lk_pallas_variants
+            pts_out, flag = lk_pallas_variants.lk_level_vmem_mm(
                 img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,
                 frozen0, win=win, iters=params.iters, eps=params.eps,
                 min_eig=params.min_eig, use_bf16=(params.kernel == "mm"),
                 interpret=interpret)
         elif params.kernel in ("ymm", "pkmm"):
-            pts_out, flag = lk_pallas.lk_level_vmem_pk(
+            from ssvio_tpu.ops import lk_pallas_variants
+            pts_out, flag = lk_pallas_variants.lk_level_vmem_pk(
                 img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,
                 frozen0, win=win, iters=params.iters, eps=params.eps,
                 min_eig=params.min_eig, x_mm=(params.kernel == "pkmm"),
                 interpret=interpret)
         elif params.kernel == "sw":
-            pts_out, flag = lk_pallas.lk_level_vmem_sw(
+            from ssvio_tpu.ops import lk_pallas_variants
+            pts_out, flag = lk_pallas_variants.lk_level_vmem_sw(
                 img_prev_p, gx_p, gy_p, img_cur_p, pts_prev, pts_guess,
                 frozen0, win=win, iters=params.iters, eps=params.eps,
                 min_eig=params.min_eig, interpret=interpret)

@@ -75,6 +75,39 @@ def test_mm_kernel_matches_xla(rng):
                                np.asarray(out_x)[both], atol=0.05)
 
 
+def test_sw_level_matches_xla(rng):
+    """Fast default-tier parity for the user-selectable 'sw' kernel
+    (single level — the full-track variant check stays in the slow tier;
+    advisor finding r3)."""
+    img, img2, pts = _scene(rng)
+    p = jnp.asarray(pts)
+    gx, gy = pyramid.sobel_gradients(jnp.asarray(img))
+    v = jnp.ones(p.shape[0], bool)
+    out_x, ok_x = lk._track_level(jnp.asarray(img), jnp.asarray(img2),
+                                  gx, gy, p, p, v, lk.LKParams(backend="xla"))
+    out_s, ok_s = lk._track_level(jnp.asarray(img), jnp.asarray(img2),
+                                  gx, gy, p, p, v,
+                                  lk.LKParams(backend="pallas_interpret",
+                                              kernel="sw"))
+    both = np.asarray(ok_x) & np.asarray(ok_s)
+    assert both.sum() >= 0.8 * len(pts)
+    np.testing.assert_allclose(np.asarray(out_s)[both],
+                               np.asarray(out_x)[both], atol=0.05)
+
+
+def test_sw_kernel_window_guard():
+    """'sw' rejects windows its static branch list cannot cover (win >= 24
+    would silently clamp lax.switch to the wrong slice — advisor r3)."""
+    from ssvio_tpu.ops import lk_pallas_variants
+    z = jnp.zeros((64, 256), jnp.float32)
+    p = jnp.zeros((8, 2), jnp.float32)
+    f = jnp.zeros((8, 1), jnp.int32)
+    with pytest.raises(AssertionError, match="win <= 23"):
+        lk_pallas_variants.lk_level_vmem_sw(
+            z, z, z, z, p, p, f, win=25, iters=1, eps=0.01, min_eig=1e-4,
+            interpret=True)
+
+
 @pytest.mark.slow
 def test_pk_kernels_match_xla(rng):
     """Per-keypoint serial kernel variants ('ymm', 'pkmm' matmul sampling,
