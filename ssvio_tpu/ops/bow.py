@@ -292,3 +292,20 @@ def load_orbvoc_text(path: str) -> Vocabulary:
     return Vocabulary(jnp.asarray(packed), jnp.asarray(child_tab),
                       jnp.asarray(word_id),
                       jnp.asarray(np.array(wword, np.float32)))
+
+
+def tree_depth(vocab: Vocabulary) -> int:
+    """Max root->leaf depth of a (possibly variable-depth) tree — the
+    descent-round count `transform` needs for a loaded vocabulary (the
+    self-trained path knows its depth by construction)."""
+    children = np.asarray(vocab.children)
+    depth = 0
+    frontier = np.array([0], np.int32)
+    while frontier.size:
+        kids = children[frontier].reshape(-1)
+        frontier = kids[kids >= 0]
+        if frontier.size:
+            depth += 1
+        if depth > 64:
+            raise ValueError("vocabulary tree deeper than 64 (cycle?)")
+    return depth

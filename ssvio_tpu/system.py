@@ -76,7 +76,6 @@ class System:
         self.last_pyr = None
         self.frame_id = -1
         self._engine = None            # chunked scan engine, built lazily
-        self._lc_T_ref = None          # pose handed to loop closing
 
         # host-side global records (unbounded; the active window is on device)
         self.trajectory = []        # (timestamp, frame_id, T_wc [3,4] np)
@@ -86,6 +85,16 @@ class System:
         self.stats = {"n_keyframes": 0, "n_loops": 0, "track_ms": [],
                       "warnings": []}
         self._kf_cache = None       # packed window records (chunk readback)
+        # rigid gauge corrections applied while a chunk was in flight
+        # (dispatch-ahead loop closing): a chunk dispatched BEFORE a
+        # correction computed its outputs in the uncorrected gauge, so
+        # collect_chunk right-composes every correction recorded since its
+        # dispatch onto the read-back poses. Rigid corrections commute with
+        # tracking (pure gauge change), so deferred application is exact;
+        # PGO holds the active window fixed, so window poses transform by
+        # exactly the same C (reference's loop thread is equally
+        # asynchronous, loopclosing.cpp:39-70).
+        self._gauge_events = []     # [C [3,4] np, ...] in application order
         if self.enable_loop:
             from ssvio_tpu.loopclosing import LoopClosing
             self.loopclosing = LoopClosing(
@@ -111,12 +120,12 @@ class System:
         self.feat = fe.empty_feat_state(self.s.max_features)
         self.last_pyr = None
         self.frame_id = -1
-        self._lc_T_ref = None
         self._kf_cache = None
         self.trajectory = []
         self.keyframes = []
         self._rec_by_gid = {}
         self.kf_rel_edges = []
+        self._gauge_events = []
         self.stats = {"n_keyframes": 0, "n_loops": 0, "track_ms": [],
                       "warnings": []}
         if self.loopclosing is not None:
@@ -129,6 +138,7 @@ class System:
                 lc = self.loopclosing
                 lc.vocab = old.vocab
                 lc._vocab_levels = old._vocab_levels
+                lc._vocab_loaded = old._vocab_loaded
                 lc.bow_db = jnp.zeros((lc.cap, old.vocab.n_words),
                                       jnp.float32)
 
@@ -180,11 +190,13 @@ class System:
                  timestamp: float = 0.0) -> np.ndarray:
         """Process one stereo pair. Returns the camera pose T_wc [3,4] np."""
         self.frame_id += 1
-        img_l = self._pad(np.asarray(left, np.float32))
+        img_l = self.frontend.undistort_left(
+            self._pad(np.asarray(left, np.float32)))
         pyr_l = self.frontend.build_pyramid(img_l)
 
         if self.status == fe.INITING:
-            img_r = self._pad(np.asarray(right, np.float32))
+            img_r = self.frontend.undistort_right(
+                self._pad(np.asarray(right, np.float32)))
             pyr_r = self.frontend.build_pyramid(img_r)
             self._try_init(pyr_l, pyr_r, timestamp)
         elif self.status in (fe.TRACKING_GOOD, fe.TRACKING_BAD):
@@ -199,7 +211,8 @@ class System:
                 self.status = fe.TRACKING_GOOD
             elif n_inl > self.s.tracking_bad:
                 self.status = fe.TRACKING_BAD
-                img_r = self._pad(np.asarray(right, np.float32))
+                img_r = self.frontend.undistort_right(
+                    self._pad(np.asarray(right, np.float32)))
                 pyr_r = self.frontend.build_pyramid(img_r)
                 self._insert_keyframe(pyr_l, pyr_r, timestamp)
             else:
@@ -263,9 +276,13 @@ class System:
         host's fetch + bookkeeping for chunk k then overlaps the device's
         compute for chunk k+1 (pipeline parallelism; the role the
         reference's frontend/backend thread split plays,
-        reference backend.cpp:20-55). With loop closing enabled, collect
-        chunk k before dispatching k+1: the loop-closing path mutates the
-        map between chunks."""
+        reference backend.cpp:20-55). Loop closing composes with
+        dispatch-ahead since r4: corrections detected while a newer chunk
+        is in flight apply to the in-flight carry with one-chunk latency
+        (asynchronously queued device ops), and collect_chunk rigidly
+        re-gauges that chunk's read-back poses (see _gauge_events) — the
+        reference's loop-closing thread is equally asynchronous
+        (loopclosing.cpp:39-70)."""
         from ssvio_tpu import engine as eng
 
         K = len(lefts)
@@ -304,14 +321,20 @@ class System:
         self.rel_motion = carry.rel_motion
         self.map = carry.m
         self._status_dev = carry.status
-        return (packed, outs, imgs_l, imgs_r, list(timestamps), K)
+        # carry.m rides in the handle as the POST-THIS-CHUNK map snapshot:
+        # loop-closing ingest at collect time reads it instead of the live
+        # self.map, which by then may be a chunk ahead and still computing
+        # (syncing on it would forfeit the dispatch-ahead overlap)
+        return (packed, outs, imgs_l, imgs_r, list(timestamps), K,
+                len(self._gauge_events), carry.m)
 
     def collect_chunk(self, handle) -> np.ndarray:
         """Fetch + record the results of a dispatch_chunk handle. Returns
         T_wc [K, 3, 4]."""
         from ssvio_tpu import engine as eng
 
-        packed, outs, imgs_l, imgs_r, timestamps, K = handle
+        (packed, outs, imgs_l, imgs_r, timestamps, K, gauge_idx,
+         m_snapshot) = handle
         # ONE device->host fetch for the whole chunk (see engine.pack_readback)
         packed = np.asarray(packed)
         P = eng.PER_FRAME_PACK
@@ -325,10 +348,30 @@ class System:
         # host mirror only — do NOT clear _status_dev: a newer chunk may
         # already be dispatched and its carry.status is the live value
         self._status = int(tail[0])
+        kf_pose_tail = tail[1 + 2 * W:1 + 2 * W + 12 * W].reshape(W, 3, 4).copy()
+
+        # re-gauge: corrections applied while this chunk was in flight
+        # (dispatch-ahead loop closing) — right-compose each recorded C
+        # onto the chunk's poses, exactly what the active window received
+        # (rigid C is a pure gauge change, so per-chunk relative edges are
+        # unaffected: C cancels in Z = T_cur T_prev^-1)
+        if gauge_idx < len(self._gauge_events):
+            Cs = self._gauge_events[gauge_idx:]
+            T_cw_k = per[:, :12].reshape(K, 3, 4).copy()
+            for i in range(K):
+                T = T_cw_k[i]
+                for C in Cs:
+                    T = se3.compose_np(T, C)
+                T_cw_k[i] = T
+            for w in range(W):
+                T = kf_pose_tail[w]
+                for C in Cs:
+                    T = se3.compose_np(T, C)
+                kf_pose_tail[w] = T
+
         self._kf_cache = (tail[1:1 + W].astype(np.int32),      # gids
                           tail[1 + W:1 + 2 * W] > 0.5,          # valid
-                          tail[1 + 2 * W:1 + 2 * W + 12 * W]
-                          .reshape(W, 3, 4))                    # poses
+                          kf_pose_tail)                         # poses
 
         T_wc_k = np.empty_like(T_cw_k)
         for i in range(K):
@@ -345,33 +388,39 @@ class System:
         self._refresh_keyframe_records()
         self._kf_cache = None
 
-        # loop closing for keyframes created inside the chunk
+        # loop closing for keyframes created inside the chunk: ONE batched
+        # ingest dispatch for all of them (descriptors + store + BoW +
+        # DB scoring), host round trips only for actual candidates
         if self.loopclosing is not None and kf_flag.any():
+            items = []
             for i in np.nonzero(kf_flag)[0]:
                 gid = int(kf_gid_k[i])
-                pyr_i = self.frontend.build_pyramid(imgs_l[i])
-                feat_i = jax.tree.map(lambda a: a[i], outs.feat)
                 try:
-                    T_kf = jnp.asarray(self.pose_of_gid(gid))
+                    T_kf = self.pose_of_gid(gid)
                 except KeyError:
                     self._warn(f"loop closing skipped keyframe gid={gid}: "
                                "no host record (chunk readback mismatch)")
                     continue
-                self._lc_T_ref = np.asarray(T_kf)
-                ev = self.loopclosing.process_keyframe(
-                    self, gid, pyr_i, feat_i, self.map, T_kf)
-                self._lc_T_ref = None
-                if ev is not None and ev.corrected:
-                    self.stats["n_loops"] += 1
-                    self.stats["n_fused"] = (self.stats.get("n_fused", 0)
-                                             + ev.n_fused)
+                img0 = self.frontend.undistort_left(
+                    imgs_l[i].astype(jnp.float32))
+                feat_i = jax.tree.map(lambda a, i=i: a[i], outs.feat)
+                items.append((gid, img0, feat_i, np.asarray(T_kf)))
+            if items:
+                evs = self.loopclosing.process_keyframes_batch(
+                    self, items, m_snapshot)
+                for ev in evs:
+                    if ev.corrected:
+                        self.stats["n_loops"] += 1
+                        self.stats["n_fused"] = (self.stats.get("n_fused", 0)
+                                                 + ev.n_fused)
 
         # LOST at the chunk boundary: attempt relocalization on the chunk's
         # last frame (the in-chunk scan dead-ends on LOST for determinism;
         # recovery is a between-chunk host decision, like loop correction)
         if (self._status == fe.LOST and self.loopclosing is not None
                 and self.s.relocalization_open):
-            pyr_last = self.frontend.build_pyramid(imgs_l[K - 1])
+            pyr_last = self.frontend.build_pyramid(
+                self.frontend.undistort_left(imgs_l[K - 1]))
             if self._try_relocalize(pyr_last, np.asarray(imgs_r[K - 1]),
                                     timestamps[K - 1]):
                 self.last_pyr = pyr_last
@@ -396,11 +445,15 @@ class System:
 
     # ------------------------------------------------------------------
     def _try_init(self, pyr_l, pyr_r, timestamp):
-        """Stereo init (reference SteroInit, frontend.cpp:430-446)."""
+        """Stereo init (reference SteroInit, frontend.cpp:430-446): the
+        init extractor budget (n_init_features) + init_good stereo gate."""
         empty = fe.empty_feat_state(self.s.max_features)
-        feat, m, kf_slot, kf_gid, n_created = self.frontend.keyframe_step(
-            pyr_l, pyr_r, empty, se3.identity(), self.map)
-        if int(n_created) >= self.s.min_init_landmarks:
+        feat, m, kf_slot, kf_gid, n_created, n_stereo = \
+            self.frontend.keyframe_step(pyr_l, pyr_r, empty, se3.identity(),
+                                        self.map,
+                                        budget=self.s.n_init_features)
+        if (int(n_created) >= self.s.min_init_landmarks
+                and int(n_stereo) >= self.s.init_good):
             self.feat = feat
             self.map = m
             self.T_cw = se3.identity()
@@ -424,11 +477,11 @@ class System:
         if fix is None:
             return False
         T_reloc, n_inl = fix
-        pyr_r = self.frontend.build_pyramid(
-            self._pad(np.asarray(right, np.float32)))
-        feat, m, kf_slot, kf_gid, n_created = self.frontend.keyframe_step(
+        pyr_r = self.frontend.build_pyramid(self.frontend.undistort_right(
+            self._pad(np.asarray(right, np.float32))))
+        feat, m, kf_slot, kf_gid, n_created, _ = self.frontend.keyframe_step(
             pyr_l, pyr_r, fe.empty_feat_state(self.s.max_features),
-            T_reloc, self.map)
+            T_reloc, self.map, budget=self.s.n_init_features)
         if int(n_created) < self.s.min_init_landmarks:
             return False            # not enough structure to resume; stay LOST
         self.feat = feat
@@ -451,8 +504,9 @@ class System:
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, pyr_l, pyr_r, timestamp):
-        feat, m, kf_slot, kf_gid, n_created = self.frontend.keyframe_step(
-            pyr_l, pyr_r, self.feat, self.T_cw, self.map)
+        feat, m, kf_slot, kf_gid, n_created, _ = self.frontend.keyframe_step(
+            pyr_l, pyr_r, self.feat, self.T_cw, self.map,
+            budget=self.s.n_new_features)
         self.feat = feat
         self.map = m
         self._record_keyframe(int(kf_gid), timestamp)
@@ -529,7 +583,7 @@ class System:
         return [int(g) for g, v in zip(kf_gid, kf_valid) if v]
 
     def apply_loop_correction(self, loopclosing, corrected_map, T_corr,
-                              relink=None):
+                              relink=None, T_ref=None):
         """Install the rigidly re-anchored active map + corrected current
         pose (reference CorrectActivateKeyframeAndMappoint writes the map
         under the map-update mutex, loopclosing.cpp:378-456; here it is a
@@ -540,20 +594,22 @@ class System:
         to their new slots/identities so future tracking and keyframes
         reuse the loop's landmarks (reference loopclosing.cpp:428-453).
 
-        In chunked mode (_lc_T_ref set) the corrected keyframe may lie a
-        few frames behind the current pose; the current pose rides the same
-        rigid right-multiplied correction C = T_ref^-1 T_corr the active
-        window got, so when T_ref == current pose this reduces exactly to
-        T_cw = T_corr (the per-frame behavior)."""
+        `T_ref` is the corrected keyframe's PRE-correction pose; in
+        chunked/pipelined mode the current pose (and possibly a chunk in
+        flight) lies frames ahead of it, and rides the same rigid
+        right-multiplied correction C = T_ref^-1 T_corr the active window
+        got. When T_ref == current pose this reduces exactly to
+        T_cw = T_corr (the per-frame behavior). The C is also recorded in
+        _gauge_events so collect_chunk can re-gauge any chunk that was
+        already in flight."""
         self.map = corrected_map
         if relink is not None:
             self.feat = loopclosing.remap_feat(self.feat, *relink)
-        if self._lc_T_ref is not None:
-            C = se3.compose(se3.inverse(jnp.asarray(self._lc_T_ref)),
-                            jnp.asarray(T_corr))
-            self.T_cw = se3.compose(jnp.asarray(self.T_cw), C)
-        else:
-            self.T_cw = jnp.asarray(T_corr)
+        if T_ref is None:
+            T_ref = self.T_cw
+        C = se3.compose(se3.inverse(jnp.asarray(T_ref)), jnp.asarray(T_corr))
+        self.T_cw = se3.compose(jnp.asarray(self.T_cw), C)
+        self._gauge_events.append(np.asarray(C))
         self._refresh_keyframe_records()
 
     def on_pose_graph_updated(self):

@@ -132,3 +132,39 @@ def test_undistort_image_roundtrip():
     diff = np.abs(out[c:-c, c:-c] - img_ideal[c:-c, c:-c])
     assert np.median(diff) < 3.0, np.median(diff)
     assert diff.mean() < 5.0, diff.mean()
+
+
+def test_undistort_image_recovers_ideal():
+    """Distort an ideal image (sample it at undistorted source coords),
+    then undistort_image must recover the ideal image in the interior
+    (reference Camera::UndistortImage, camera.cpp:43-55)."""
+    import numpy as np
+
+    from ssvio_tpu.ops import camera
+
+    rng = np.random.default_rng(5)
+    h, w = 96, 128
+    base = rng.uniform(0, 255, (h // 8, w // 8)).astype(np.float32)
+    ideal = np.kron(base, np.ones((8, 8), np.float32))   # blocky texture
+    intr = camera.Intrinsics(jnp.float32(100.0), jnp.float32(100.0),
+                             jnp.float32(w / 2), jnp.float32(h / 2))
+    dist = (-0.15, 0.02, 0.0, 0.0)
+
+    # synthesize the DISTORTED observation: D(u_d) = I(undistort(u_d))
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    grid = jnp.asarray(np.stack([xx.ravel(), yy.ravel()], axis=-1))
+    src = np.asarray(camera.undistort_points(intr, dist, grid))
+    sx = np.clip(src[:, 0], 0, w - 1)
+    sy = np.clip(src[:, 1], 0, h - 1)
+    x0, y0 = sx.astype(int), sy.astype(int)
+    x1, y1 = np.minimum(x0 + 1, w - 1), np.minimum(y0 + 1, h - 1)
+    fx_, fy_ = sx - x0, sy - y0
+    D = ((1 - fy_) * ((1 - fx_) * ideal[y0, x0] + fx_ * ideal[y0, x1])
+         + fy_ * ((1 - fx_) * ideal[y1, x0] + fx_ * ideal[y1, x1])
+         ).reshape(h, w).astype(np.float32)
+
+    rec = np.asarray(camera.undistort_image(intr, dist, jnp.asarray(D)))
+    # compare away from borders (distortion pulls in content from outside)
+    err = np.abs(rec[16:-16, 16:-16] - ideal[16:-16, 16:-16])
+    assert np.median(err) < 4.0, np.median(err)
+    assert err.mean() < 8.0, err.mean()

@@ -131,3 +131,103 @@ def test_refresh_keyframe_records_covers_old_window_members():
         assert sys_._rec_by_gid[g]["T_cw"][0, 3] == 10.0 + g, g
     # non-window records untouched
     assert sys_._rec_by_gid[5]["T_cw"][0, 3] == 0.0
+
+
+def test_detection_budget_caps_new_features():
+    """n_new_features / n_init_features cap accepted NEW detections (init
+    vs steady extractor parity, reference system.cpp:115-129)."""
+    import jax.numpy as jnp
+
+    from ssvio_tpu import frontend as fe
+
+    s = small_settings()
+    front = fe.Frontend(s, s.padded_width, s.padded_height, W, H)
+    world = synthetic.SyntheticWorld(seed=9)
+    pose = synthetic.straight_trajectory(1, speed=0.0)[0]
+    L, _ = synthetic.render_stereo_sequence(world, pose[None], FX, FY, CX,
+                                            CY, BASELINE, W, H)
+    img = jnp.asarray(np.pad(L[0].astype(np.float32),
+                             ((0, s.padded_height - H),
+                              (0, s.padded_width - W)), mode="edge"))
+    empty = fe.empty_feat_state(s.max_features)
+    _, new_full = front._detect_merge(img, empty)
+    _, new_10 = front._detect_merge(img, empty, budget=10)
+    assert int(jnp.sum(new_full)) > 30
+    assert int(jnp.sum(new_10)) == 10
+
+
+def test_init_good_gate_blocks_stereo_init():
+    """init_good (numFeatures.initGood) gates stereo init: with an
+    unsatisfiable threshold the system must stay INITING (reference
+    SteroInit, frontend.cpp:433-437)."""
+    from ssvio_tpu import frontend as fe
+    from ssvio_tpu.system import System
+
+    world = synthetic.SyntheticWorld(seed=9)
+    poses = synthetic.straight_trajectory(3, speed=0.35)
+    L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
+                                            BASELINE, W, H)
+    s = small_settings(init_good=10 ** 6)
+    sys_ = System(s, enable_backend=False, enable_loop_closing=False)
+    for i in range(3):
+        sys_.run_step(L[i], R[i], 0.1 * i)
+    assert sys_.status == fe.INITING
+
+    s2 = small_settings()        # default gate: init succeeds frame 0
+    sys2 = System(s2, enable_backend=False, enable_loop_closing=False)
+    sys2.run_step(L[0], R[0], 0.0)
+    assert sys2.status == fe.TRACKING_GOOD
+
+
+@pytest.mark.slow
+def test_distorted_rig_tracks_with_undistortion():
+    """A rig with real lens distortion must track once NeedUndistortion is
+    set: frames are undistorted on device before the pyramid build
+    (reference frontend.cpp:39-45). The same distorted input with the flag
+    OFF tracks measurably worse (or fails), proving the wiring matters."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from ssvio_tpu.ops import camera
+    from ssvio_tpu.system import System
+
+    world = synthetic.SyntheticWorld(seed=9)
+    poses = synthetic.straight_trajectory(24, speed=0.35, yaw_rate=0.004)
+    L, R = synthetic.render_stereo_sequence(world, poses, FX, FY, CX, CY,
+                                            BASELINE, W, H)
+    # synthesize distorted observations: D(u_d) = I(undistort(u_d))
+    dist = (-0.28, 0.07, 0.0, 0.0)
+    intr = camera.Intrinsics(jnp.float32(FX), jnp.float32(FY),
+                             jnp.float32(CX), jnp.float32(CY))
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    grid = jnp.asarray(np.stack([xx.ravel(), yy.ravel()], axis=-1))
+    src = np.asarray(camera.undistort_points(intr, dist, grid))
+    sx = np.clip(src[:, 0], 0, W - 1)
+    sy = np.clip(src[:, 1], 0, H - 1)
+    x0, y0 = sx.astype(int), sy.astype(int)
+    x1, y1 = np.minimum(x0 + 1, W - 1), np.minimum(y0 + 1, H - 1)
+    fx_, fy_ = sx - x0, sy - y0
+
+    def distort(img):
+        img = img.astype(np.float32)
+        return ((1 - fy_) * ((1 - fx_) * img[y0, x0] + fx_ * img[y0, x1])
+                + fy_ * ((1 - fx_) * img[y1, x0] + fx_ * img[y1, x1])
+                ).reshape(H, W)
+
+    Ld = [distort(f) for f in L]
+    Rd = [distort(f) for f in R]
+
+    def run(need_undist):
+        s = small_settings(need_undistortion=need_undist)
+        s.cam_left = dc.replace(s.cam_left, k1=dist[0], k2=dist[1])
+        s.cam_right = dc.replace(s.cam_right, k1=dist[0], k2=dist[1])
+        sys_ = System(s, enable_backend=False, enable_loop_closing=False)
+        est = np.stack([sys_.run_step(Ld[i], Rd[i], 0.1 * i)
+                        for i in range(len(Ld))])
+        return ate.ape_translation(est[:, :, 3], poses[:, :, 3])["rmse"]
+
+    rmse_on = run(True)
+    rmse_off = run(False)
+    assert rmse_on < 0.35, rmse_on
+    assert rmse_off > 1.5 * rmse_on, (rmse_off, rmse_on)
