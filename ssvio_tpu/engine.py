@@ -102,103 +102,112 @@ class Engine:
             obs_uv=c(m.obs_uv, lm), obs_valid=c(m.obs_valid, lm))
 
     # ------------------------------------------------------------------
-    def _kf_insert(self, pyr_l, pyr_r, m, feat, T_cw, run_ba: bool,
-                   budget: int | None = None):
-        """Keyframe insertion (+ sliding-window BA on the tracking path).
-
-        Reference: FrontEnd::InsertKeyFrame frontend.cpp:546-576 followed by
-        Backend::OptimizeActiveMap backend.cpp:78-245 — there a thread
-        handoff, here the cond branch of one program."""
-        f = self.fe
-        feat2, m2, kf_slot, kf_gid, n_created, n_stereo = f._keyframe_step(
-            pyr_l, pyr_r, feat, T_cw, m, budget=budget)
-        if run_ba:
-            prob = mapmod.ba_problem_from_map(self._lm_sharded(m2))
-            res = ba.local_ba(prob, f._fx, f._fy, f._cx, f._cy, f._baseline)
-            m2 = mapmod.apply_ba_result(m2, res.kf_T_cw, res.lm_pos,
-                                        res.obs_valid)
-            T_cw = m2.kf_pose[kf_slot]   # pose rides the optimized keyframe
-        return feat2, m2, kf_slot, kf_gid, n_created, n_stereo, T_cw
-
-    # ------------------------------------------------------------------
     def _step(self, carry: EngineCarry, img_l, img_r):
+        """One engine frame. The state machine is expressed as TWO conds
+        over shared sub-programs — track (GOOD/BAD) and keyframe machinery
+        (INITING + TRACKING_BAD share one trace, with the init/steady
+        detection budget and acceptance selected dynamically) — instead of
+        a 3-way lax.switch duplicating the detection/stereo/triangulation
+        HLO per branch. The r3 chunk program compiled in ~11 min cold
+        (BENCH_r03 compile_s=675); tracing the keyframe machinery once
+        roughly halves the program (VERDICT r3 weak #4 / next #8).
+
+        Reference: FrontEnd::GrabSteroImage status dispatch
+        (frontend.cpp:49-67), SteroInit (:430-446), Track (:79-128),
+        InsertKeyFrame (:546-576) + Backend::OptimizeActiveMap
+        (backend.cpp:78-245) — thread handoffs there, cond branches of one
+        program here. LOST dead-ends (reference frontend.cpp:62-66 TODO);
+        recovery is a host decision between chunks."""
         f = self.fe
         s = self.s
         # images may arrive as uint8 (camera-native; 4x cheaper to upload
         # over the host<->TPU link) — promote on device. Undistortion (when
         # configured) runs before the pyramid build, like the reference's
         # per-frame UndistortImage (frontend.cpp:39-45); the right eye is
-        # undistorted lazily inside the keyframe branches (its pyramid is
+        # undistorted lazily inside the keyframe branch (its pyramid is
         # only needed there).
         img_l = f._undistort_left(img_l.astype(jnp.float32))
         img_r = img_r.astype(jnp.float32)
         pyr_l = f._build_pyramid(img_l)
-        no_kf_out = (jnp.int32(-1), jnp.int32(-1))
+        status = carry.status
+        is_init = status == fe.INITING
+        is_track = ((status == fe.TRACKING_GOOD)
+                    | (status == fe.TRACKING_BAD))
 
-        # ---- branch 0: INITING (reference SteroInit, frontend.cpp:430-446)
-        def br_init(c: EngineCarry):
-            pyr_r = f._build_pyramid(f._undistort_right(img_r))
-            empty = fe.empty_feat_state(s.max_features)
-            feat2, m2, kf_slot, kf_gid, n_created, n_stereo, _ = \
-                self._kf_insert(pyr_l, pyr_r, c.m, empty, se3.identity(),
-                                run_ba=False, budget=s.n_init_features)
-            # init gates: enough stereo-matched features (init_good,
-            # reference frontend.cpp:433-437) AND enough triangulated
-            # landmarks (Min.Init.Landmark.Num, :452-488)
-            ok = ((n_created >= s.min_init_landmarks)
-                  & (n_stereo >= s.init_good))
-            taken = EngineCarry(pyr_l, feat2, se3.identity(), se3.identity(),
-                                m2, jnp.int32(fe.TRACKING_GOOD))
-            retry = c._replace(pyr_last=pyr_l)
-            c2 = _sel(ok, taken, retry)
-            out = FrameOut(T_cw=se3.identity(), status=c2.status,
-                           n_inliers=jnp.int32(0), kf_flag=ok,
-                           kf_slot=jnp.where(ok, kf_slot, -1),
-                           kf_gid=jnp.where(ok, kf_gid, -1), feat=c2.feat)
-            return c2, out
-
-        # ---- branch 1: TRACKING_GOOD / TRACKING_BAD (Track, :79-128)
-        def br_track(c: EngineCarry):
+        # ---- tracking (only for GOOD/BAD; INITING/LOST pass through)
+        def do_track(c: EngineCarry):
             out = f._track_step(c.pyr_last, pyr_l, c.feat, c.T_cw,
                                 c.rel_motion, c.m.lm_pos, c.m.lm_valid,
                                 c.m.lm_gid)
-            n_inl = out.n_inliers
-            status = jnp.where(
-                n_inl > s.tracking_good, jnp.int32(fe.TRACKING_GOOD),
-                jnp.where(n_inl > s.tracking_bad, jnp.int32(fe.TRACKING_BAD),
-                          jnp.int32(fe.LOST)))
-            need_kf = status == fe.TRACKING_BAD
+            st = jnp.where(
+                out.n_inliers > s.tracking_good, jnp.int32(fe.TRACKING_GOOD),
+                jnp.where(out.n_inliers > s.tracking_bad,
+                          jnp.int32(fe.TRACKING_BAD), jnp.int32(fe.LOST)))
+            return out, st
 
-            def do_kf(_):
-                pyr_r = f._build_pyramid(f._undistort_right(img_r))
-                feat2, m2, kf_slot, kf_gid, _, _, T2 = self._kf_insert(
-                    pyr_l, pyr_r, c.m, out.feat, out.T_cw,
-                    run_ba=self.enable_backend, budget=s.n_new_features)
-                return feat2, m2, (kf_slot, kf_gid), T2
+        def no_track(c: EngineCarry):
+            return fe.TrackOut(c.feat, c.T_cw, c.rel_motion,
+                               jnp.int32(0)), c.status
 
-            def no_kf(_):
-                return out.feat, c.m, no_kf_out, out.T_cw
+        out, status_t = jax.lax.cond(is_track, do_track, no_track, carry)
+        need_kf = is_init | (is_track & (status_t == fe.TRACKING_BAD))
 
-            feat2, m2, (kf_slot, kf_gid), T2 = jax.lax.cond(
-                need_kf, do_kf, no_kf, None)
-            c2 = EngineCarry(pyr_l, feat2, T2, out.rel_motion, m2, status)
-            return c2, FrameOut(T_cw=T2, status=status, n_inliers=n_inl,
-                                kf_flag=need_kf, kf_slot=kf_slot,
-                                kf_gid=kf_gid, feat=feat2)
+        # ---- keyframe machinery (ONE trace for init + steady)
+        def do_kf(_):
+            pyr_r = f._build_pyramid(f._undistort_right(img_r))
+            empty = fe.empty_feat_state(s.max_features)
+            feat_in = _sel(is_init, empty, out.feat)
+            T_in = _sel(is_init, se3.identity(), out.T_cw)
+            # init vs steady extractor budget (reference system.cpp:115-129)
+            budget = jnp.where(is_init, s.n_init_features, s.n_new_features)
+            feat2, m2, kf_slot, kf_gid, n_created, n_stereo = \
+                f._keyframe_step(pyr_l, pyr_r, feat_in, T_in, carry.m,
+                                 budget=budget)
+            # init gates: enough stereo-matched features (init_good,
+            # reference frontend.cpp:433-437) AND enough triangulated
+            # landmarks (Min.Init.Landmark.Num, :452-488)
+            init_ok = ((n_created >= s.min_init_landmarks)
+                       & (n_stereo >= s.init_good))
+            accept = jnp.where(is_init, init_ok, True)
+            T2 = T_in
+            if self.enable_backend:
+                # sliding-window BA rides steady keyframes only (the
+                # reference backend starts after init too)
+                def run_ba(args):
+                    m_in, T = args
+                    prob = mapmod.ba_problem_from_map(self._lm_sharded(m_in))
+                    res = ba.local_ba(prob, f._fx, f._fy, f._cx, f._cy,
+                                      f._baseline)
+                    m_out = mapmod.apply_ba_result(m_in, res.kf_T_cw,
+                                                   res.lm_pos, res.obs_valid)
+                    return m_out, m_out.kf_pose[kf_slot]
 
-        # ---- branch 2: LOST dead-ends (reference frontend.cpp:62-66 TODO)
-        def br_lost(c: EngineCarry):
-            c2 = c._replace(pyr_last=pyr_l)
-            return c2, FrameOut(T_cw=c.T_cw, status=c.status,
-                                n_inliers=jnp.int32(0),
-                                kf_flag=jnp.asarray(False),
-                                kf_slot=no_kf_out[0], kf_gid=no_kf_out[1],
-                                feat=c.feat)
+                m2, T2 = jax.lax.cond(jnp.logical_not(is_init), run_ba,
+                                      lambda a: a, (m2, T2))
+            return accept, feat2, m2, kf_slot, kf_gid, T2
 
-        branch = jnp.clip(carry.status, 0, 3)          # GOOD/BAD share br_track
-        branch = jnp.where(branch == 2, 1, branch)
-        branch = jnp.where(branch == 3, 2, branch)
-        return jax.lax.switch(branch, [br_init, br_track, br_lost], carry)
+        def no_kf(_):
+            return (jnp.asarray(False), out.feat, carry.m, jnp.int32(-1),
+                    jnp.int32(-1), out.T_cw)
+
+        accept, feat2, m2, kf_slot, kf_gid, T2 = jax.lax.cond(
+            need_kf, do_kf, no_kf, None)
+        kf_ok = need_kf & accept
+
+        # ---- compose the post-frame state (init reject reverts)
+        feat_f = _sel(kf_ok, feat2, out.feat)
+        m_f = _sel(kf_ok, m2, carry.m)
+        T_f = _sel(kf_ok, T2, out.T_cw)
+        rel_f = _sel(is_init & kf_ok, se3.identity(), out.rel_motion)
+        status_f = jnp.where(
+            is_init, jnp.where(kf_ok, jnp.int32(fe.TRACKING_GOOD),
+                               jnp.int32(fe.INITING)), status_t)
+        c2 = EngineCarry(pyr_l, feat_f, T_f, rel_f, m_f, status_f)
+        return c2, FrameOut(T_cw=T_f, status=status_f,
+                            n_inliers=out.n_inliers, kf_flag=kf_ok,
+                            kf_slot=jnp.where(kf_ok, kf_slot, -1),
+                            kf_gid=jnp.where(kf_ok, kf_gid, -1),
+                            feat=feat_f)
 
     # ------------------------------------------------------------------
     def _run_chunk(self, carry: EngineCarry, imgs_l, imgs_r):

@@ -266,7 +266,10 @@ class Frontend:
         slot_idx = jnp.arange(N, dtype=jnp.int32)
         # new detection k goes to slot n_exist + k
         new_rank = slot_idx - n_exist                      # per-slot: which new det
-        cap = N if budget is None else min(int(budget), N)
+        # budget may be a python int (static) or a traced scalar (the
+        # engine's unified keyframe branch selects init vs steady budget
+        # dynamically so the branch is traced ONCE)
+        cap = N if budget is None else jnp.minimum(budget, N)
         take_new = (new_rank >= 0) & (new_rank < cap) & ~ex_valid
         new_idx = jnp.clip(new_rank, 0, N - 1)
         new_ok = take_new & det_valid[new_idx]
