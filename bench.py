@@ -218,6 +218,27 @@ def main():
         except Exception as e:
             extra["loop_bench"] = f"error: {e}"
 
+        # ---- per-round scaling-efficiency artifact (virtual 8-device CPU
+        # mesh; subprocess so the TPU-backed bench process stays clean)
+        try:
+            import subprocess
+            env = dict(os.environ)
+            env.pop("XLA_FLAGS", None)
+            out = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "profile_scaling.py"),
+                 "--json", "16384"],
+                capture_output=True, text=True, timeout=900, env=env)
+            for line in out.stdout.splitlines():
+                if line.startswith("SCALING "):
+                    extra["scaling_virtual8"] = json.loads(line[8:])
+                    break
+            else:
+                extra["scaling_virtual8"] = f"no output: {out.stdout[-300:]}"
+        except Exception as e:
+            extra["scaling_virtual8"] = f"error: {e}"
+
     print(json.dumps({
         "metric": "frames_per_second_per_chip",
         "value": round(fps, 2),

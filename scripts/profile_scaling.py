@@ -153,10 +153,16 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--engine":
         engine_mode()
         return
-    M = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
+    as_json = len(sys.argv) > 1 and sys.argv[1] == "--json"
+    argv = sys.argv[2:] if as_json else sys.argv[1:]
+    M = int(argv[0]) if argv else 32768
     prob, (fx, fy, cx, cy, baseline) = build_problem(M)
     devices = jax.devices("cpu")
     results = {}
+    report = {"M": M, "reps": 3, "solve_ms": {}, "efficiency": {},
+              "note": ("8 VIRTUAL CPU devices (no multi-chip hardware on "
+                       "this machine): validates the sharded program and "
+                       "the compute/comm split, not real ICI bandwidth")}
     for n in (1, 2, 4, 8):
         mesh = dist_ba.make_mesh(devices[:n])
         step = dist_ba.distributed_local_ba(mesh, fx, fy, cx, cy, baseline,
@@ -172,9 +178,16 @@ def main():
         dt = (time.time() - t0) / reps
         results[n] = dt
         eff = results[1] / (n * dt) if 1 in results else float("nan")
-        print(f"devices={n}  {dt*1e3:8.1f} ms/solve  speedup={results[1]/dt:5.2f}x"
-              f"  efficiency={100*eff:5.1f}%  inlier_ratio="
-              f"{float(res.inlier_ratio):.3f}")
+        report["solve_ms"][str(n)] = round(dt * 1e3, 2)
+        report["efficiency"][str(n)] = round(eff, 3)
+        if not as_json:
+            print(f"devices={n}  {dt*1e3:8.1f} ms/solve  "
+                  f"speedup={results[1]/dt:5.2f}x"
+                  f"  efficiency={100*eff:5.1f}%  inlier_ratio="
+                  f"{float(res.inlier_ratio):.3f}")
+    if as_json:
+        import json
+        print("SCALING " + json.dumps(report))
 
 
 if __name__ == "__main__":

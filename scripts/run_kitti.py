@@ -60,6 +60,14 @@ def parse_args(argv=None):
                    help="export every frame pose instead of keyframes only")
     p.add_argument("--profile_dir", default=None,
                    help="write a JAX profiler trace for frames 20..40 here")
+    p.add_argument("--distributed", action="store_true",
+                   help="join a multi-host JAX runtime before the run "
+                        "(jax.distributed.initialize via SSVIO_COORDINATOR/"
+                        "SSVIO_NUM_PROCESSES/SSVIO_PROCESS_ID env or "
+                        "cluster auto-detection); the engine then runs "
+                        "with the map's landmark axis sharded over the "
+                        "GLOBAL device mesh — ICI within a host, DCN "
+                        "across hosts (parallel/multihost.py)")
     return p.parse_args(argv)
 
 
@@ -120,11 +128,27 @@ def main(argv=None) -> int:
     from ssvio_tpu.dataio import kitti
     from ssvio_tpu.system import System
 
+    mesh = None
+    if args.distributed:
+        from ssvio_tpu.parallel import multihost
+        if not multihost.initialize():
+            print("[run_kitti] --distributed: no coordinator configured "
+                  "(set SSVIO_COORDINATOR/SSVIO_NUM_PROCESSES/"
+                  "SSVIO_PROCESS_ID) and no cluster auto-detected; "
+                  "continuing single-process")
+        mesh = multihost.global_mesh()
+        import jax
+        print(f"[run_kitti] distributed: process "
+              f"{jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices, mesh axes "
+              f"{mesh.shape}")
+
     settings = (Settings.from_yaml(args.config_yaml_path)
                 if args.config_yaml_path else Settings())
     system = System(settings,
                     enable_backend=False if args.no_backend else None,
-                    enable_loop_closing=False if args.no_loop else None)
+                    enable_loop_closing=False if args.no_loop else None,
+                    mesh=mesh)
 
     left, right, ts = kitti.load_image_paths_and_timestamps(
         args.kitti_dataset_path)
@@ -165,6 +189,8 @@ def main(argv=None) -> int:
     print(f"[run_kitti] done: {n} frames in {wall:.1f}s "
           f"({n / wall:.1f} fps), {system.stats['n_keyframes']} keyframes, "
           f"{system.stats['n_loops']} loop closures")
+    for w in system.stats.get("warnings", []):
+        print(f"[run_kitti] warning: {w}")
 
     system.save_trajectory_tum(args.save_traj,
                                keyframes_only=not args.frames_only_traj)

@@ -205,6 +205,14 @@ class Settings:
         s.loop_desc_scales = int(g("Pyramid.Level", s.loop_desc_scales))
         s.vocab_path = g("DBOW2.VOC.Path", None)
         s.trajectory_save_path = g("Trajectory.Save.Path", None)
+        # --- TPU-native extension keys (no reference analog: fixed-shape
+        # capacity planning + kernel knobs; absent keys keep defaults) ---
+        s.max_features = int(g("TPU.Max.Features", s.max_features))
+        s.max_landmarks = int(g("TPU.Max.Landmarks", s.max_landmarks))
+        s.max_window = int(g("TPU.Max.Window", s.max_window))
+        s.max_keyframes_db = int(g("TPU.Max.Keyframes.DB", s.max_keyframes_db))
+        s.detect_octaves = int(g("TPU.Detect.Octaves", s.detect_octaves))
+        s.vocab_retrain_at = int(g("TPU.Vocab.Retrain.At", s.vocab_retrain_at))
         return s
 
 
