@@ -74,6 +74,7 @@ class System:
         self.rel_motion = se3.identity()
         self.feat = fe.empty_feat_state(settings.max_features)
         self.last_pyr = None
+        self.last_stereo = None        # (img_l, img_r|None) device, viewer pane
         self.frame_id = -1
         self._engine = None            # chunked scan engine, built lazily
 
@@ -119,6 +120,7 @@ class System:
         self.rel_motion = se3.identity()
         self.feat = fe.empty_feat_state(self.s.max_features)
         self.last_pyr = None
+        self.last_stereo = None
         self.frame_id = -1
         self._kf_cache = None
         self.trajectory = []
@@ -193,6 +195,7 @@ class System:
         img_l = self.frontend.undistort_left(
             self._pad(np.asarray(left, np.float32)))
         pyr_l = self.frontend.build_pyramid(img_l)
+        pyr_r = None
 
         if self.status == fe.INITING:
             img_r = self.frontend.undistort_right(
@@ -228,6 +231,11 @@ class System:
                 self._try_relocalize(pyr_l, right, timestamp)
 
         self.last_pyr = pyr_l
+        # latest pair for the viewer's stereo pane (reference renders live
+        # image textures, pangolin_window_impl.cpp:174-228); right eye only
+        # when this frame computed it (init/keyframe frames)
+        self.last_stereo = (pyr_l.levels[0],
+                            pyr_r.levels[0] if pyr_r is not None else None)
         T_wc = np.asarray(se3.inverse(self.T_cw))
         self.trajectory.append((timestamp, self.frame_id, T_wc))
         return T_wc
@@ -427,6 +435,8 @@ class System:
             else:
                 self._warn(f"relocalization failed at frame {self.frame_id}; "
                            "still LOST")
+        # viewer stereo pane: the chunk's last pair
+        self.last_stereo = (imgs_l[K - 1], imgs_r[K - 1])
         return T_wc_k
 
     def _record_keyframe_at(self, kf_gid: int, timestamp: float,

@@ -68,16 +68,51 @@ def plot_map(ax, kf_poses_wc: np.ndarray, cloud: Optional[np.ndarray] = None,
         ax.legend(loc="best", fontsize=8)
 
 
+def plot_stereo(ax_l, ax_r, system):
+    """Latest stereo pair with tracked features overlaid (the reference's
+    live image textures + keypoints, pangolin_window_impl.cpp:174-228).
+    No-op (hidden axes) when no frame has been processed yet."""
+    for ax in (ax_l, ax_r):
+        ax.set_xticks([])
+        ax.set_yticks([])
+    if getattr(system, "last_stereo", None) is None:
+        ax_l.set_visible(False)
+        ax_r.set_visible(False)
+        return
+    img_l, img_r = system.last_stereo
+    rw = getattr(system.frontend, "rw", None)
+    rh = getattr(system.frontend, "rh", None)
+    L = np.asarray(img_l, np.float32)[:rh, :rw]
+    ax_l.imshow(L, cmap="gray", vmin=0, vmax=255)
+    xy = np.asarray(system.feat.xy)
+    valid = np.asarray(system.feat.valid)
+    if valid.any():
+        ax_l.scatter(xy[valid, 0], xy[valid, 1], s=3, c="lime",
+                     marker="o", linewidths=0)
+    ax_l.set_title(f"left — {int(valid.sum())} tracked", fontsize=8)
+    if img_r is not None:
+        R = np.asarray(img_r, np.float32)[:rh, :rw]
+        ax_r.imshow(R, cmap="gray", vmin=0, vmax=255)
+        ax_r.set_title("right", fontsize=8)
+    else:
+        ax_r.set_visible(False)
+
+
 def snapshot(system, path: str, gt_poses_wc: Optional[np.ndarray] = None,
              title: Optional[str] = None):
-    """Render the current system state (map + trajectory + latest stereo
-    pair if available) to an image file."""
+    """Render the current system state (latest stereo pair with tracked
+    features + map/trajectory) to an image file."""
     plt = _matplotlib(headless=True)
     ts, kf_wc = system.keyframe_trajectory()
     _, frame_wc = system.frame_trajectory()
     cloud = cloud_of(system)
 
-    fig, ax = plt.subplots(figsize=(8, 7))
+    fig = plt.figure(figsize=(8, 10))
+    gs = fig.add_gridspec(2, 2, height_ratios=[1, 2.6])
+    ax_l = fig.add_subplot(gs[0, 0])
+    ax_r = fig.add_subplot(gs[0, 1])
+    ax = fig.add_subplot(gs[1, :])
+    plot_stereo(ax_l, ax_r, system)
     plot_map(ax, kf_wc, cloud=cloud,
              trajectory=frame_wc[:, :, 3] if len(frame_wc) else None,
              gt=gt_poses_wc[:, :, 3] if gt_poses_wc is not None else None)
@@ -113,8 +148,12 @@ class LiveViewer:
 
     def __init__(self, update_every: int = 1):
         self.plt = _matplotlib(headless=False)
-        self.fig, (self.ax_map, self.ax_euler) = self.plt.subplots(
-            1, 2, figsize=(12, 6))
+        self.fig = self.plt.figure(figsize=(12, 8))
+        gs = self.fig.add_gridspec(2, 2, height_ratios=[1, 2])
+        self.ax_l = self.fig.add_subplot(gs[0, 0])
+        self.ax_r = self.fig.add_subplot(gs[0, 1])
+        self.ax_map = self.fig.add_subplot(gs[1, 0])
+        self.ax_euler = self.fig.add_subplot(gs[1, 1])
         self.update_every = update_every
         self._n = 0
         self._eulers: list = []
@@ -131,6 +170,11 @@ class LiveViewer:
         plot_map(self.ax_map, kf_wc, cloud=cloud_of(system),
                  trajectory=frame_wc[:, :, 3] if len(frame_wc) else None,
                  gt=gt_poses_wc[:, :, 3] if gt_poses_wc is not None else None)
+        self.ax_l.clear()
+        self.ax_r.clear()
+        self.ax_l.set_visible(True)
+        self.ax_r.set_visible(True)
+        plot_stereo(self.ax_l, self.ax_r, system)
         self.ax_euler.clear()
         e = np.array(self._eulers)
         for i, name in enumerate(("yaw", "pitch", "roll")):
