@@ -259,13 +259,17 @@ def _loop_accuracy_bench(s, chunk):
 
     FX, FY, CX, CY = (s.cam_left.fx, s.cam_left.fy, s.cam_left.cx,
                       s.cam_left.cy)
-    # 5 laps + a quarter-lap revisit: at KITTI resolution with sensor
-    # noise the VO drifts ~0.2-0.3 m/lap, crossing the reference's (1, 15)
-    # correction-acceptance window around lap 5 (a single clean lap closes
-    # to ~0.3 m — nothing for loop closing to do; measured 2026-08)
+    # 8 laps + a quarter-lap revisit: at KITTI resolution with sensor
+    # noise the VO drifts ~0.2 m/lap; the reference's correction-acceptance
+    # window REJECTS corrections with |log| < 1 (loopclosing.cpp:224-234),
+    # and 5 laps accumulate only ~0.94 — detections fired with 285 PnP
+    # inliers but every correction magnitude measured 0.05-0.71 and was
+    # (correctly) rejected (r4 debug run). 8 laps put the drift at ~1.5,
+    # safely inside the window, so the bench exercises the actual
+    # correction + fusion + PGO path.
     n = 288
     circ = synthetic.loop_trajectory(n, radius=10.0)
-    poses = np.concatenate([circ] * 5 + [circ[:n // 4]], axis=0)
+    poses = np.concatenate([circ] * 8 + [circ[:n // 4]], axis=0)
     n_frames = (len(poses) // chunk) * chunk
     poses = poses[:n_frames]
     world = synthetic.SyntheticWorld(seed=11, wall_x=24.0, ceiling_y=-8.0)
@@ -314,6 +318,15 @@ def _loop_accuracy_bench(s, chunk):
         if loop_on:
             out[tag]["n_loops"] = sys_.stats["n_loops"]
             out[tag]["n_fused"] = sys_.stats.get("n_fused", 0)
+            evs = sys_.loopclosing.events
+            out[tag]["n_events"] = len(evs)
+            if evs:
+                out[tag]["score_max"] = round(max(e.score for e in evs), 3)
+                out[tag]["matches_max"] = max(e.n_matches for e in evs)
+                out[tag]["inliers_max"] = max(e.n_inliers for e in evs)
+                out[tag]["err_range"] = [
+                    round(min(e.error for e in evs), 2),
+                    round(max(e.error for e in evs), 2)]
     out["cold_s"] = round(cold_s, 1)    # compiles + vocab self-training
     return out
 

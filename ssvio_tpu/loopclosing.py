@@ -62,6 +62,14 @@ def _round_pow2(n: int, lo: int = 64) -> int:
     return p
 
 
+def fe_feat_view(xy, valid, lm_slot, lm_gid):
+    """FeatState view over batch rows (octave is unused downstream of
+    loop matching/fusion)."""
+    from ssvio_tpu import frontend as fe
+    return fe.FeatState(xy=xy, lm_slot=lm_slot, lm_gid=lm_gid, valid=valid,
+                        octave=jnp.zeros(xy.shape[0], jnp.int32))
+
+
 class LoopClosing:
     """Host driver owning the device-resident keyframe database."""
 
@@ -84,6 +92,10 @@ class LoopClosing:
         self.lm_has = jnp.zeros((self.cap, self.F), bool)
         self.lm_gid_db = jnp.full((self.cap, self.F), -1, jnp.int32)
         self.db_gid = np.full((self.cap,), -1, np.int64)  # host mirror
+        # device mirror of db_gid (the ingest scoring's age gate reads it;
+        # updated INSIDE the ingest jit — uploading the host mirror every
+        # chunk would cost a ~30 ms tunnel round trip)
+        self.db_gid_dev = jnp.full((self.cap,), -1, jnp.int32)
         self.row_of_gid = {}
         self.n = 0
 
@@ -155,6 +167,8 @@ class LoopClosing:
             [self.lm_gid_db, jnp.full((pad, self.F), -1, jnp.int32)])
         self.db_gid = np.concatenate(
             [self.db_gid, np.full((pad,), -1, np.int64)])
+        self.db_gid_dev = jnp.concatenate(
+            [self.db_gid_dev, jnp.full((pad,), -1, jnp.int32)])
         self.cap = new_cap
         msg = f"loop keyframe database grown to {new_cap} rows"
         if system is not None and hasattr(system, "_warn"):
@@ -212,26 +226,30 @@ class LoopClosing:
                 descs, dvals)
 
     def _ingest_impl_nv(self, desc_db, desc_valid, kp_xy, db_lm_pos,
-                        db_lm_has, db_lm_gid, rows, imgs, xys, valids,
-                        f_lm_slot, f_lm_gid, m_lm_pos, m_lm_gid, m_lm_valid):
+                        db_lm_has, db_lm_gid, db_gid_dev, rows, gids, imgs,
+                        xys, valids, f_lm_slot, f_lm_gid, m_lm_pos,
+                        m_lm_gid, m_lm_valid):
         """Warm-up ingest: no vocabulary yet, so no transform/scoring."""
         out = self._describe_and_store(
             desc_db, desc_valid, kp_xy, db_lm_pos, db_lm_has, db_lm_gid,
             rows, imgs, xys, valids, f_lm_slot, f_lm_gid, m_lm_pos,
             m_lm_gid, m_lm_valid)
-        return out[:6]
+        cap = db_gid_dev.shape[0]
+        r = jnp.where(rows >= 0, rows, cap)
+        db_gid_dev = db_gid_dev.at[r].set(gids, mode="drop")
+        return out[:6] + (db_gid_dev,)
 
     def _ingest_impl_v(self, desc_db, desc_valid, kp_xy, db_lm_pos,
-                       db_lm_has, db_lm_gid, bow_db, rows, imgs, xys,
-                       valids, f_lm_slot, f_lm_gid, m_lm_pos, m_lm_gid,
-                       m_lm_valid, vocab, db_gid_dev, gids, min_age,
+                       db_lm_has, db_lm_gid, bow_db, db_gid_dev, rows,
+                       imgs, xys, valids, f_lm_slot, f_lm_gid, m_lm_pos,
+                       m_lm_gid, m_lm_valid, vocab, gids, min_age,
                        levels: int):
         """Full ingest: describe/store + BoW transform + whole-DB scoring
         for the group, all in one dispatch. Returns the updated database
-        arrays plus per-keyframe (best_row, best_score) under the age gate
-        (DetectLoop parity, loopclosing.cpp:72-103). db_gid_dev must
-        already contain the group's gids so in-batch pairs age-gate
-        correctly."""
+        arrays plus a [2, B] (best_row, best_score) pack under the age
+        gate (DetectLoop parity, loopclosing.cpp:72-103). The device
+        db_gid mirror is updated in here too (in-batch pairs then age-gate
+        correctly) — no host upload per chunk."""
         (desc_db, desc_valid, kp_xy, db_lm_pos, db_lm_has, db_lm_gid,
          descs, dvals) = self._describe_and_store(
             desc_db, desc_valid, kp_xy, db_lm_pos, db_lm_has, db_lm_gid,
@@ -242,6 +260,7 @@ class LoopClosing:
             descs, dvals)                                     # [B, n_words]
         r = jnp.where(rows >= 0, rows, cap)
         bow_db = bow_db.at[r].set(vs, mode="drop")
+        db_gid_dev = db_gid_dev.at[r].set(gids, mode="drop")
 
         def score_one(args):
             v, gid = args
@@ -253,8 +272,9 @@ class LoopClosing:
         # lax.map (not vmap): keeps the [cap, n_words] score broadcast per
         # query instead of materializing [B, cap, n_words]
         best_rows, best_scores = jax.lax.map(score_one, (vs, gids))
+        pack = jnp.stack([best_rows.astype(jnp.float32), best_scores])
         return (desc_db, desc_valid, kp_xy, db_lm_pos, db_lm_has,
-                db_lm_gid, bow_db, best_rows, best_scores)
+                db_lm_gid, bow_db, db_gid_dev, pack)
 
     # ------------------------------------------------------------------
     # snapshot freshness: a database row's landmark positions are frozen
@@ -289,13 +309,14 @@ class LoopClosing:
         safe = jnp.where(rows >= 0, rows, cap)
         return db_pos.at[safe].set(new_rows, mode="drop")
 
-    def _refresh_active_snapshots(self, system, m: mapmod.MapState):
-        # active gids from the SNAPSHOT map (not system.active_gids(),
-        # which reads the live map and would sync on an in-flight chunk)
-        kf_gid = np.asarray(m.kf_gid)
-        kf_valid = np.asarray(m.kf_valid)
-        rows = [self.row_of_gid[int(g)] for g, v in zip(kf_gid, kf_valid)
-                if v and int(g) in self.row_of_gid]
+    def _refresh_active_snapshots(self, active_gids, m: mapmod.MapState):
+        """active_gids: HOST list of the window's keyframe gids. The
+        chunked path hands the gids it already read back in the packed
+        chunk readback — reading them from the map here would cost two
+        extra device->host fetches per chunk (~30 ms each on this
+        machine's tunnel)."""
+        rows = [self.row_of_gid[int(g)] for g in active_gids
+                if int(g) in self.row_of_gid]
         if not rows:
             return
         R = self.s.max_window
@@ -444,78 +465,85 @@ class LoopClosing:
         if hasattr(pyr_l, "levels"):     # frontend.Pyr carries gradients too
             pyr_l = pyr_l.levels
         img0 = pyr_l[0] if isinstance(pyr_l, (list, tuple)) else pyr_l
+        batch = (img0[None].astype(jnp.float32), feat.xy[None],
+                 feat.valid[None], feat.lm_slot[None], feat.lm_gid[None])
+        kf_gid_np = np.asarray(m.kf_gid)
+        kf_valid_np = np.asarray(m.kf_valid)
+        active = [int(g) for g, v in zip(kf_gid_np, kf_valid_np) if v]
         evs = self.process_keyframes_batch(
-            system, [(kf_gid, img0, feat, np.asarray(T_cw))], m)
+            system, [kf_gid], [np.asarray(T_cw)], batch, m, active)
         return evs[-1] if evs else None
 
-    GROUP = 4      # keyframes per ingest dispatch (a 32-frame chunk makes
-                   # ~2-4 keyframes; one group covers it)
+    GROUP = 4      # max keyframes per ingest dispatch (a 32-frame chunk
+                   # makes ~2-4 keyframes; one group covers it)
 
-    def process_keyframes_batch(self, system, items, m: mapmod.MapState
+    def process_keyframes_batch(self, system, kf_gids, T_list, batch,
+                                m: mapmod.MapState, active_gids
                                 ) -> List[LoopEvent]:
         """Ingest keyframes and run loop detection/correction.
 
-        items: list of (kf_gid, img0 [H, W] device level-0 image,
-        feat FeatState, T_cw [3, 4] np). The whole device pipeline for a
-        group — descriptor ladder, landmark snapshot, database store, BoW
-        transform, whole-DB scoring — is ONE jit dispatch with ONE
-        [GROUP, 2] scalar readback (vs ~6 dispatches + syncs per keyframe
-        in the r3 per-keyframe flow; the reference's loop thread similarly
-        decouples this work from tracking, loopclosing.cpp:39-70). The
-        rare candidate hits then run match + PnP + correction host-driven
-        as before. Returns the LoopEvents appended (detection attempts and
-        corrections)."""
+        kf_gids/T_list: host lists (gid, pre-correction T_cw [3,4] np) per
+        keyframe. batch: pre-gathered DEVICE arrays for all B keyframes —
+        (imgs [B, H, W] f32 undistorted, xy [B, F, 2], valid [B, F],
+        lm_slot [B, F], lm_gid [B, F]) — built by System._lc_prepare in
+        ONE jit. The whole device pipeline per group — descriptor ladder,
+        landmark snapshot, database store, BoW transform, whole-DB
+        scoring — is ONE further dispatch with ONE [2, B] readback. Host
+        work per chunk is two dispatches + one small fetch; on this
+        machine's tunnel every extra dispatch/fetch costs 10-30 ms, which
+        is what made the r3 per-keyframe flow (and the first r4 batch
+        attempt: ~30 small host ops/chunk) cost half the engine's
+        throughput. The rare candidate hits then run match + PnP +
+        correction host-driven. Returns the LoopEvents appended."""
         s = self.s
         events: List[LoopEvent] = []
-        if not items:
+        B_all = len(kf_gids)
+        if not B_all:
             return events
         # pull BA-refined positions into the snapshots of still-active rows
         # (see _refresh_rows_impl — loop PnP must see live landmarks)
-        self._refresh_active_snapshots(system, m)
+        self._refresh_active_snapshots(active_gids, m)
 
-        B = self.GROUP
-        for g0 in range(0, len(items), B):
-            group = items[g0:g0 + B]
-            while self.n + len(group) > self.cap:
+        for g0 in range(0, B_all, self.GROUP):
+            gids_host = kf_gids[g0:g0 + self.GROUP]
+            nb = len(gids_host)
+            group_batch = (batch if (g0 == 0 and nb == B_all)
+                           else jax.tree.map(
+                               lambda a: a[g0:g0 + nb], batch))
+            while self.n + nb > self.cap:
                 # the reference's keyframe database is UNBOUNDED
                 # (loopclosing.cpp:657-669); grow by doubling so long runs
                 # (KITTI 02 ~ 4661 frames) never silently lose loop closing
                 self._grow(system)
-            rows = list(range(self.n, self.n + len(group)))
-            pad = B - len(group)
-            rows_a = jnp.asarray(rows + [-1] * pad, jnp.int32)
-            gids_host = [it[0] for it in group]
-            gids_a = jnp.asarray(gids_host + [-1] * pad, jnp.int32)
-            last = group[-1]
-            imgs = jnp.stack([it[1] for it in group] + [last[1]] * pad)
-            feats = [it[2] for it in group] + [last[2]] * pad
-            xys = jnp.stack([f.xy for f in feats])
-            valids = jnp.stack([f.valid for f in feats])
-            slots = jnp.stack([f.lm_slot for f in feats])
-            fgids = jnp.stack([f.lm_gid for f in feats])
-            self.db_gid[rows] = gids_host     # host mirror first: the age
-            # gate must see in-batch rows
+            rows = list(range(self.n, self.n + nb))
+            rows_a = jnp.asarray(rows, jnp.int32)
+            gids_a = jnp.asarray(gids_host, jnp.int32)
+            imgs, xys, valids, slots, fgids = group_batch
+            self.db_gid[rows] = gids_host     # host mirror (gates, logs);
+            # the device mirror is updated inside the ingest jit
             for i, g in enumerate(gids_host):
                 self.row_of_gid[g] = rows[i]
-            self.n += len(group)
+            self.n += nb
 
             if self.vocab is None:
                 (self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
-                 self.lm_has, self.lm_gid_db) = self._ingest_nv(
-                    self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
-                    self.lm_has, self.lm_gid_db, rows_a, imgs, xys, valids,
-                    slots, fgids, m.lm_pos, m.lm_gid, m.lm_valid)
-                best_rows = best_scores = None
+                 self.lm_has, self.lm_gid_db, self.db_gid_dev) = \
+                    self._ingest_nv(
+                        self.desc_db, self.desc_valid, self.kp_xy,
+                        self.lm_pos, self.lm_has, self.lm_gid_db,
+                        self.db_gid_dev, rows_a, gids_a, imgs, xys, valids,
+                        slots, fgids, m.lm_pos, m.lm_gid, m.lm_valid)
+                pack = None
             else:
                 (self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
-                 self.lm_has, self.lm_gid_db, self.bow_db, best_rows,
-                 best_scores) = self._ingest_v(
+                 self.lm_has, self.lm_gid_db, self.bow_db, self.db_gid_dev,
+                 pack) = self._ingest_v(
                     self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
-                    self.lm_has, self.lm_gid_db, self.bow_db, rows_a, imgs,
-                    xys, valids, slots, fgids, m.lm_pos, m.lm_gid,
-                    m.lm_valid, self.vocab,
-                    jnp.asarray(self.db_gid, jnp.int32), gids_a,
-                    jnp.int32(s.loop_min_age), levels=self._vocab_levels)
+                    self.lm_has, self.lm_gid_db, self.bow_db,
+                    self.db_gid_dev, rows_a, imgs, xys, valids, slots,
+                    fgids, m.lm_pos, m.lm_gid, m.lm_valid, self.vocab,
+                    gids_a, jnp.int32(s.loop_min_age),
+                    levels=self._vocab_levels)
 
             # vocabulary self-training at warm-up (DB can't fire before
             # db_min_size anyway, reference loopclosing.cpp:48)
@@ -531,22 +559,32 @@ class LoopClosing:
                     and self.n >= s.vocab_retrain_at):
                 self._train_vocab(s.vocab_deep_levels)
 
-            if best_rows is None:
+            if pack is None:
                 continue
-            best_rows = np.asarray(best_rows)       # ONE sync per group
-            best_scores = np.asarray(best_scores)
-            for i, (kf_gid, img0, feat, T_np) in enumerate(group):
+            # gate pre-check WITHOUT the device sync: if no keyframe in
+            # the group can pass the host-side gates, skip the fetch
+            any_eligible = any(
+                rows[i] + 1 > s.loop_db_min_size
+                and gids_host[i] - self.last_closed_gid >= s.loop_min_gap
+                for i in range(nb))
+            if not any_eligible:
+                continue
+            pack = np.asarray(pack)                 # ONE sync per group
+            best_rows = pack[0].astype(np.int64)
+            best_scores = pack[1]
+            for i in range(nb):
                 # ---- gates (DetectLoop :72-103 + InsertNewKeyFrame
                 # :657-669); row+1 = DB size as of this keyframe's ingest
                 if rows[i] + 1 <= s.loop_db_min_size:
                     continue
-                if kf_gid - self.last_closed_gid < s.loop_min_gap:
+                if gids_host[i] - self.last_closed_gid < s.loop_min_gap:
                     continue
                 best_score = float(best_scores[i])
                 if best_score < s.loop_threshold_higher:
                     continue
-                ev = self._complete_loop(system, kf_gid, rows[i], feat,
-                                         jnp.asarray(T_np),
+                feat_i = fe_feat_view(xys[i], valids[i], slots[i], fgids[i])
+                ev = self._complete_loop(system, gids_host[i], rows[i],
+                                         feat_i, jnp.asarray(T_list[g0 + i]),
                                          int(best_rows[i]), best_score)
                 if ev is not None:
                     events.append(ev)
@@ -713,10 +751,20 @@ class LoopClosing:
         self._vocab_levels = levels
         # word count is the tree's ACTUAL leaf count (<= k^L)
         self.bow_db = jnp.zeros((self.cap, self.vocab.n_words), jnp.float32)
-        for i in range(self.n):
-            v = bow.transform(self.vocab, self.desc_db[i], self.desc_valid[i],
-                              levels)
-            self.bow_db = self._store_bow(self.bow_db, i, v)
+        # batched back-fill: one dispatch per 32 rows (a per-row dispatch
+        # train costs ~20 ms of host latency each on this machine's tunnel)
+        G = min(32, self.cap)
+        backfill = jax.jit(lambda dd, dv: jax.vmap(
+            lambda d, v: bow.transform(self.vocab, d, v, levels))(dd, dv))
+        for i0 in range(0, self.n, G):
+            nb = min(G, self.n - i0)
+            st = min(i0, self.cap - G)      # keep the G-row slice in range
+            off = i0 - st
+            vs = backfill(jax.lax.dynamic_slice_in_dim(self.desc_db, st, G),
+                          jax.lax.dynamic_slice_in_dim(self.desc_valid,
+                                                       st, G))
+            self.bow_db = jax.lax.dynamic_update_slice_in_dim(
+                self.bow_db, vs[off:off + nb], i0, axis=0)
 
     # ------------------------------------------------------------------
     # pose-graph optimization over the host keyframe records

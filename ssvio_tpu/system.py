@@ -64,6 +64,15 @@ class System:
             lambda prob: ba.local_ba(prob, self.frontend._fx, self.frontend._fy,
                                      self.frontend._cx, self.frontend._cy,
                                      self.frontend._baseline))
+        # gather + undistort the chunk's keyframe rows for loop closing in
+        # ONE dispatch (per-item slicing costs ~10-30 ms of host latency
+        # each over this machine's device tunnel)
+        self._lc_prepare = jax.jit(
+            lambda imgs_l, feat, idx: (
+                jax.vmap(self.frontend._undistort_left)(
+                    imgs_l[idx].astype(jnp.float32)),
+                feat.xy[idx], feat.valid[idx],
+                feat.lm_slot[idx], feat.lm_gid[idx]))
 
         # frontend state. `status` is host-visible; `_status_dev` mirrors it
         # as a device scalar so pipelined dispatch_chunk calls never wait on
@@ -377,9 +386,9 @@ class System:
                     T = se3.compose_np(T, C)
                 kf_pose_tail[w] = T
 
-        self._kf_cache = (tail[1:1 + W].astype(np.int32),      # gids
-                          tail[1 + W:1 + 2 * W] > 0.5,          # valid
-                          kf_pose_tail)                         # poses
+        tail_gids = tail[1:1 + W].astype(np.int32)
+        tail_valid = tail[1 + W:1 + 2 * W] > 0.5
+        self._kf_cache = (tail_gids, tail_valid, kf_pose_tail)
 
         T_wc_k = np.empty_like(T_cw_k)
         for i in range(K):
@@ -396,11 +405,13 @@ class System:
         self._refresh_keyframe_records()
         self._kf_cache = None
 
-        # loop closing for keyframes created inside the chunk: ONE batched
-        # ingest dispatch for all of them (descriptors + store + BoW +
-        # DB scoring), host round trips only for actual candidates
+        # loop closing for keyframes created inside the chunk: ONE gather
+        # dispatch + ONE batched ingest dispatch for all of them
+        # (descriptors + store + BoW + DB scoring), one small fetch for
+        # the scores; host round trips beyond that only for actual
+        # candidates
         if self.loopclosing is not None and kf_flag.any():
-            items = []
+            idxs, gids, T_list = [], [], []
             for i in np.nonzero(kf_flag)[0]:
                 gid = int(kf_gid_k[i])
                 try:
@@ -409,13 +420,18 @@ class System:
                     self._warn(f"loop closing skipped keyframe gid={gid}: "
                                "no host record (chunk readback mismatch)")
                     continue
-                img0 = self.frontend.undistort_left(
-                    imgs_l[i].astype(jnp.float32))
-                feat_i = jax.tree.map(lambda a, i=i: a[i], outs.feat)
-                items.append((gid, img0, feat_i, np.asarray(T_kf)))
-            if items:
+                idxs.append(int(i))
+                gids.append(gid)
+                T_list.append(np.asarray(T_kf))
+            if idxs:
+                batch = self._lc_prepare(imgs_l, outs.feat,
+                                         jnp.asarray(idxs, jnp.int32))
+                # window gids straight from the packed readback (no device
+                # fetch): the snapshot map's window
+                active = [int(g) for g, v in zip(tail_gids, tail_valid)
+                          if v]
                 evs = self.loopclosing.process_keyframes_batch(
-                    self, items, m_snapshot)
+                    self, gids, T_list, batch, m_snapshot, active)
                 for ev in evs:
                     if ev.corrected:
                         self.stats["n_loops"] += 1
