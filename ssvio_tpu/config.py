@@ -106,6 +106,13 @@ class Settings:
     loop_min_age: int = 20              # candidate must be >= this many KFs old
     # (reference loopclosing.cpp:84-90)
     loop_min_gap: int = 5               # KFs between closures (:657-669)
+    # correction-acceptance window on the se3-log magnitude of the
+    # correction (reference hardcodes (1, 15), loopclosing.cpp:224-234 —
+    # tuned for KITTI-scale scenes; scale the lower bound down for small
+    # scenes or the detector's preferred anchor (the most similar = most
+    # recent revisit) never accumulates enough relative drift to correct)
+    loop_correction_min: float = 1.0
+    loop_correction_max: float = 15.0
     # LOST-state relocalization against the keyframe database — a capability
     # EXTENSION: the reference detects LOST but recovery is an empty TODO
     # (reference frontend.cpp:62-66); set False for dead-end parity

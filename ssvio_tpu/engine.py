@@ -47,7 +47,11 @@ class EngineCarry(NamedTuple):
 
 class FrameOut(NamedTuple):
     """Per-frame scan outputs. Scalars are read back each chunk; `feat`
-    stays on device and is sliced only for keyframe frames (loop closing)."""
+    stays on device and is sliced only for keyframe frames (loop closing).
+    `desc`/`dval` are the loop-closing descriptor ladder for keyframe
+    frames, computed INSIDE the chunk program (zeros-sized when the engine
+    was built with loop_desc=False): the separate describe dispatch +
+    host-latency round trips cost more than the compute (PERF.md r4)."""
     T_cw: jnp.ndarray        # [3, 4] post-BA pose of the frame
     status: jnp.ndarray      # [] int32 status AFTER this frame
     n_inliers: jnp.ndarray   # [] int32
@@ -55,6 +59,8 @@ class FrameOut(NamedTuple):
     kf_slot: jnp.ndarray     # [] int32 window slot of that keyframe
     kf_gid: jnp.ndarray      # [] int32 global id of that keyframe
     feat: fe.FeatState       # feature state after the frame (device-side)
+    desc: jnp.ndarray        # [S*F, 8] uint32 loop descriptors (or [0, 8])
+    dval: jnp.ndarray        # [S*F] bool (or [0])
 
 
 def _sel(pred, a, b):
@@ -80,11 +86,16 @@ class Engine:
     rows per frame)."""
 
     def __init__(self, frontend: fe.Frontend, enable_backend: bool,
-                 mesh=None):
+                 mesh=None, loop_desc: bool = False):
         self.fe = frontend
         self.s = frontend.s
         self.enable_backend = enable_backend
         self.mesh = mesh
+        # loop_desc: keyframe frames emit the loop-closing descriptor
+        # ladder as scan outputs (see FrameOut.desc)
+        self.loop_desc = loop_desc
+        self._desc_rows = (self.s.loop_desc_scales * self.s.max_features
+                           if loop_desc else 0)
         self.run_chunk = jax.jit(self._run_chunk)
         self.run_frame = jax.jit(self._step)
 
@@ -169,6 +180,14 @@ class Engine:
             init_ok = ((n_created >= s.min_init_landmarks)
                        & (n_stereo >= s.init_good))
             accept = jnp.where(is_init, init_ok, True)
+            if self.loop_desc:
+                from ssvio_tpu.loopclosing import loop_describe
+                desc, dval = loop_describe(img_l, feat2.xy, feat2.valid,
+                                           s.loop_desc_scales,
+                                           s.scale_factor)
+            else:
+                desc = jnp.zeros((0, 8), jnp.uint32)
+                dval = jnp.zeros((0,), bool)
             T2 = T_in
             if self.enable_backend:
                 # sliding-window BA rides steady keyframes only (the
@@ -184,13 +203,17 @@ class Engine:
 
                 m2, T2 = jax.lax.cond(jnp.logical_not(is_init), run_ba,
                                       lambda a: a, (m2, T2))
-            return accept, feat2, m2, kf_slot, kf_gid, T2
+            return accept, feat2, m2, kf_slot, kf_gid, T2, desc, dval
 
         def no_kf(_):
             return (jnp.asarray(False), out.feat, carry.m, jnp.int32(-1),
-                    jnp.int32(-1), out.T_cw)
+                    jnp.int32(-1), out.T_cw,
+                    jnp.zeros((self._desc_rows if self.loop_desc else 0, 8),
+                              jnp.uint32),
+                    jnp.zeros((self._desc_rows if self.loop_desc else 0,),
+                              bool))
 
-        accept, feat2, m2, kf_slot, kf_gid, T2 = jax.lax.cond(
+        accept, feat2, m2, kf_slot, kf_gid, T2, desc, dval = jax.lax.cond(
             need_kf, do_kf, no_kf, None)
         kf_ok = need_kf & accept
 
@@ -207,7 +230,7 @@ class Engine:
                             n_inliers=out.n_inliers, kf_flag=kf_ok,
                             kf_slot=jnp.where(kf_ok, kf_slot, -1),
                             kf_gid=jnp.where(kf_ok, kf_gid, -1),
-                            feat=feat_f)
+                            feat=feat_f, desc=desc, dval=dval)
 
     # ------------------------------------------------------------------
     def _run_chunk(self, carry: EngineCarry, imgs_l, imgs_r):

@@ -70,6 +70,37 @@ def fe_feat_view(xy, valid, lm_slot, lm_gid):
                         octave=jnp.zeros(xy.shape[0], jnp.int32))
 
 
+def loop_describe(img0: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
+                  S: int, sf: float):
+    """Multi-octave loop descriptors for one keyframe.
+
+    Geometric sf^l ladder (the reference replicates every keypoint across
+    its 8 ORB octaves for loop descriptors, loopclosing.cpp:605-619 +
+    ComputePyramid orbextractor.cpp:993-1027), per-octave pre-descriptor
+    blur (orbextractor.cpp:962), row-integral IC-angle moments (124
+    gathers/keypoint vs ~709 per-tap; the conv-moment variant measured
+    SLOWER end-to-end on the v5e — 31 vs 51 fps loop-on — single-channel
+    31x31 convs lower badly in XLA), and the pooled BRIEF pattern (one
+    256-tap gather vs 512 independent endpoints).
+
+    Pure function so the ENGINE's keyframe branch can emit descriptors
+    inside the scan-compiled chunk program (r4: the separate describe
+    dispatch + image re-upload cost more host latency than the compute).
+    Returns (desc [S*F, 8] uint32, dval [S*F] bool)."""
+    ladder = pyramid.build_orb_pyramid(img0, S, sf)
+    descs, vals = [], []
+    for l in range(S):
+        img = pyramid.blur(ladder[l], sigma=2.0, radius=3)
+        xy_l = xy / (sf ** l)
+        h, w = img.shape
+        inb = sampling.in_bounds(xy_l, h, w, border=22.0)
+        ang = orb.ic_angle_integral(img, xy_l)
+        d = orb.compute_descriptors_pool(img, xy_l, ang)
+        descs.append(d)
+        vals.append(valid & inb)
+    return jnp.concatenate(descs, 0), jnp.concatenate(vals, 0)
+
+
 class LoopClosing:
     """Host driver owning the device-resident keyframe database."""
 
@@ -135,10 +166,14 @@ class LoopClosing:
         # (VERDICT r3 weak #1). Two variants: warm-up (no vocabulary yet)
         # and scoring.
         self._ingest_nv = jax.jit(self._ingest_impl_nv,
-                                  donate_argnums=(0, 1, 2, 3, 4, 5))
+                                  donate_argnums=(0, 1, 2, 3, 4, 5, 6))
         self._ingest_v = jax.jit(self._ingest_impl_v,
-                                 static_argnames=("levels",),
-                                 donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+                                 static_argnames=("levels", "min_age"),
+                                 donate_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+        # device row counter: mirrors self.n so the ingest jits derive
+        # their target rows on device (uploading a rows array every chunk
+        # BLOCKS the host ~10-30 ms on this machine's tunnel)
+        self.n_dev = jnp.int32(0)
 
     # ------------------------------------------------------------------
     def _grow(self, system=None):
@@ -180,36 +215,20 @@ class LoopClosing:
     # ------------------------------------------------------------------
     def _describe_impl(self, img0: jnp.ndarray, xy: jnp.ndarray,
                        valid: jnp.ndarray):
-        # geometric 1.2^l ladder (the reference replicates every keypoint
-        # across its 8 ORB octaves for loop descriptors,
-        # loopclosing.cpp:605-619 + ComputePyramid orbextractor.cpp:993-1027;
-        # Settings.loop_desc_scales octaves of Settings.scale_factor here)
-        sf = self.s.scale_factor
-        ladder = pyramid.build_orb_pyramid(img0, self.S, sf)
-        descs, vals = [], []
-        for l in range(self.S):
-            img = pyramid.blur(ladder[l], sigma=2.0, radius=3)  # pre-descriptor
-            # blur (reference orbextractor.cpp:962)
-            xy_l = xy / (sf ** l)
-            h, w = img.shape
-            inb = sampling.in_bounds(xy_l, h, w, border=22.0)
-            ang = orb.ic_angle(img, xy_l)
-            d = orb.compute_descriptors(img, xy_l, ang)
-            descs.append(d)
-            vals.append(valid & inb)
-        return jnp.concatenate(descs, 0), jnp.concatenate(vals, 0)
+        return loop_describe(img0, xy, valid, self.S, self.s.scale_factor)
 
     # ------------------------------------------------------------------
     # batched ingest (the whole per-keyframe device pipeline in ONE jit)
     # ------------------------------------------------------------------
     def _describe_and_store(self, desc_db, desc_valid, kp_xy, db_lm_pos,
-                            db_lm_has, db_lm_gid, rows, imgs, xys, valids,
-                            f_lm_slot, f_lm_gid, m_lm_pos, m_lm_gid,
-                            m_lm_valid):
-        """Describe B keyframes + snapshot their landmarks + scatter into
-        the database. rows == -1 lanes are dropped (batch padding)."""
+                            db_lm_has, db_lm_gid, rows, descs, dvals, xys,
+                            valids, f_lm_slot, f_lm_gid, m_lm_pos,
+                            m_lm_gid, m_lm_valid):
+        """Snapshot B keyframes' landmarks + scatter descriptors into the
+        database. Descriptors arrive precomputed — the ENGINE's keyframe
+        branch emits them inside the chunk program (loop_describe).
+        rows == -1 lanes are dropped (batch padding)."""
         cap = desc_db.shape[0]
-        descs, dvals = jax.vmap(self._describe_impl)(imgs, xys, valids)
         M = m_lm_pos.shape[0]
         idx = jnp.clip(f_lm_slot, 0, M - 1)                   # [B, F]
         lm_has = (valids & (f_lm_slot >= 0) & m_lm_valid[idx]
@@ -226,35 +245,48 @@ class LoopClosing:
                 descs, dvals)
 
     def _ingest_impl_nv(self, desc_db, desc_valid, kp_xy, db_lm_pos,
-                        db_lm_has, db_lm_gid, db_gid_dev, rows, gids, imgs,
-                        xys, valids, f_lm_slot, f_lm_gid, m_lm_pos,
-                        m_lm_gid, m_lm_valid):
+                        db_lm_has, db_lm_gid, db_gid_dev, n_dev, gids,
+                        descs, dvals, xys, valids, f_lm_slot, f_lm_gid,
+                        m_lm_pos, m_lm_gid, m_lm_valid, refresh_rows):
         """Warm-up ingest: no vocabulary yet, so no transform/scoring."""
+        nb = gids.shape[0]
+        rows = n_dev + jnp.arange(nb, dtype=jnp.int32)
+        db_lm_pos = self._refresh_rows_impl(db_lm_pos, db_lm_gid,
+                                            refresh_rows, m_lm_pos,
+                                            m_lm_gid, m_lm_valid)
         out = self._describe_and_store(
             desc_db, desc_valid, kp_xy, db_lm_pos, db_lm_has, db_lm_gid,
-            rows, imgs, xys, valids, f_lm_slot, f_lm_gid, m_lm_pos,
-            m_lm_gid, m_lm_valid)
+            rows, descs, dvals, xys, valids, f_lm_slot, f_lm_gid,
+            m_lm_pos, m_lm_gid, m_lm_valid)
         cap = db_gid_dev.shape[0]
         r = jnp.where(rows >= 0, rows, cap)
         db_gid_dev = db_gid_dev.at[r].set(gids, mode="drop")
-        return out[:6] + (db_gid_dev,)
+        return out[:6] + (db_gid_dev, n_dev + nb)
 
     def _ingest_impl_v(self, desc_db, desc_valid, kp_xy, db_lm_pos,
-                       db_lm_has, db_lm_gid, bow_db, db_gid_dev, rows,
-                       imgs, xys, valids, f_lm_slot, f_lm_gid, m_lm_pos,
-                       m_lm_gid, m_lm_valid, vocab, gids, min_age,
-                       levels: int):
+                       db_lm_has, db_lm_gid, bow_db, db_gid_dev, n_dev,
+                       descs, dvals, xys, valids, f_lm_slot, f_lm_gid,
+                       m_lm_pos, m_lm_gid, m_lm_valid, vocab, gids,
+                       refresh_rows, min_age: int, levels: int):
         """Full ingest: describe/store + BoW transform + whole-DB scoring
         for the group, all in one dispatch. Returns the updated database
         arrays plus a [2, B] (best_row, best_score) pack under the age
         gate (DetectLoop parity, loopclosing.cpp:72-103). The device
         db_gid mirror is updated in here too (in-batch pairs then age-gate
         correctly) — no host upload per chunk."""
+        nb = gids.shape[0]
+        rows = n_dev + jnp.arange(nb, dtype=jnp.int32)
+        # snapshot freshness (see _refresh_rows_impl) folded into the same
+        # dispatch: a separate refresh jit call costs ~30-50 ms of host
+        # RPC latency per chunk on this machine's tunnel
+        db_lm_pos = self._refresh_rows_impl(db_lm_pos, db_lm_gid,
+                                            refresh_rows, m_lm_pos,
+                                            m_lm_gid, m_lm_valid)
         (desc_db, desc_valid, kp_xy, db_lm_pos, db_lm_has, db_lm_gid,
          descs, dvals) = self._describe_and_store(
             desc_db, desc_valid, kp_xy, db_lm_pos, db_lm_has, db_lm_gid,
-            rows, imgs, xys, valids, f_lm_slot, f_lm_gid, m_lm_pos,
-            m_lm_gid, m_lm_valid)
+            rows, descs, dvals, xys, valids, f_lm_slot, f_lm_gid,
+            m_lm_pos, m_lm_gid, m_lm_valid)
         cap = bow_db.shape[0]
         vs = jax.vmap(lambda d, dv: bow.transform(vocab, d, dv, levels))(
             descs, dvals)                                     # [B, n_words]
@@ -274,7 +306,7 @@ class LoopClosing:
         best_rows, best_scores = jax.lax.map(score_one, (vs, gids))
         pack = jnp.stack([best_rows.astype(jnp.float32), best_scores])
         return (desc_db, desc_valid, kp_xy, db_lm_pos, db_lm_has,
-                db_lm_gid, bow_db, db_gid_dev, pack)
+                db_lm_gid, bow_db, db_gid_dev, n_dev + nb, pack)
 
     # ------------------------------------------------------------------
     # snapshot freshness: a database row's landmark positions are frozen
@@ -309,21 +341,15 @@ class LoopClosing:
         safe = jnp.where(rows >= 0, rows, cap)
         return db_pos.at[safe].set(new_rows, mode="drop")
 
-    def _refresh_active_snapshots(self, active_gids, m: mapmod.MapState):
-        """active_gids: HOST list of the window's keyframe gids. The
-        chunked path hands the gids it already read back in the packed
-        chunk readback — reading them from the map here would cost two
-        extra device->host fetches per chunk (~30 ms each on this
-        machine's tunnel)."""
+    def _refresh_rows_of(self, active_gids) -> np.ndarray:
+        """[max_window] int32 database rows of the window's keyframes
+        (-1 padded) — the refresh target set, computed from the HOST gid
+        list the chunked path already read back (reading the map would
+        cost device->host fetches)."""
         rows = [self.row_of_gid[int(g)] for g in active_gids
                 if int(g) in self.row_of_gid]
-        if not rows:
-            return
         R = self.s.max_window
-        rows = (rows + [-1] * R)[:R]
-        self.lm_pos = self._refresh_rows(
-            self.lm_pos, self.lm_gid_db, jnp.asarray(rows, jnp.int32),
-            m.lm_pos, m.lm_gid, m.lm_valid)
+        return np.asarray((rows + [-1] * R)[:R], np.int32)
 
     # ------------------------------------------------------------------
     # matching (reference MatchFeatures :105-145)
@@ -465,8 +491,11 @@ class LoopClosing:
         if hasattr(pyr_l, "levels"):     # frontend.Pyr carries gradients too
             pyr_l = pyr_l.levels
         img0 = pyr_l[0] if isinstance(pyr_l, (list, tuple)) else pyr_l
-        batch = (img0[None].astype(jnp.float32), feat.xy[None],
-                 feat.valid[None], feat.lm_slot[None], feat.lm_gid[None])
+        desc, dval = self._describe(img0.astype(jnp.float32), feat.xy,
+                                    feat.valid)
+        batch = (desc[None], dval[None], feat.xy[None],
+                 feat.valid[None], feat.lm_slot[None], feat.lm_gid[None],
+                 jnp.asarray([kf_gid], jnp.int32))
         kf_gid_np = np.asarray(m.kf_gid)
         kf_valid_np = np.asarray(m.kf_valid)
         active = [int(g) for g, v in zip(kf_gid_np, kf_valid_np) if v]
@@ -477,9 +506,51 @@ class LoopClosing:
     GROUP = 4      # max keyframes per ingest dispatch (a 32-frame chunk
                    # makes ~2-4 keyframes; one group covers it)
 
+    def poll(self, system) -> List[LoopEvent]:
+        """Resolve deferred candidate gates (see process_keyframes_batch
+        defer=True). Called at every chunk collect: by now the deferred
+        ingest's scores are long computed (at least one whole chunk ran
+        after them), so the fetch costs pure link latency instead of
+        draining the in-flight chunk."""
+        s = self.s
+        events: List[LoopEvent] = []
+        pending, self._pending = getattr(self, "_pending", []), []
+        for (pack, rows, gids_host, feats) in pending:
+            any_eligible = any(
+                rows[i] + 1 > s.loop_db_min_size
+                and gids_host[i] - self.last_closed_gid >= s.loop_min_gap
+                for i in range(len(rows)))
+            if not any_eligible:
+                continue
+            pack = np.asarray(pack)
+            best_rows = pack[0].astype(np.int64)
+            best_scores = pack[1]
+            xys, valids, slots, fgids = feats
+            for i in range(len(rows)):
+                if rows[i] + 1 <= s.loop_db_min_size:
+                    continue
+                if gids_host[i] - self.last_closed_gid < s.loop_min_gap:
+                    continue
+                best_score = float(best_scores[i])
+                if best_score < s.loop_threshold_higher:
+                    continue
+                try:
+                    # FRESH record pose: BA/PGO may have refined it since
+                    # the deferred detection
+                    T_np = system.pose_of_gid(gids_host[i])
+                except KeyError:
+                    continue
+                feat_i = fe_feat_view(xys[i], valids[i], slots[i], fgids[i])
+                ev = self._complete_loop(system, gids_host[i], rows[i],
+                                         feat_i, jnp.asarray(T_np),
+                                         int(best_rows[i]), best_score)
+                if ev is not None:
+                    events.append(ev)
+        return events
+
     def process_keyframes_batch(self, system, kf_gids, T_list, batch,
-                                m: mapmod.MapState, active_gids
-                                ) -> List[LoopEvent]:
+                                m: mapmod.MapState, active_gids,
+                                defer: bool = False) -> List[LoopEvent]:
         """Ingest keyframes and run loop detection/correction.
 
         kf_gids/T_list: host lists (gid, pre-correction T_cw [3,4] np) per
@@ -500,9 +571,10 @@ class LoopClosing:
         B_all = len(kf_gids)
         if not B_all:
             return events
-        # pull BA-refined positions into the snapshots of still-active rows
-        # (see _refresh_rows_impl — loop PnP must see live landmarks)
-        self._refresh_active_snapshots(active_gids, m)
+        # BA-refined positions are pulled into still-active rows' snapshots
+        # INSIDE the ingest dispatch (refresh_rows; loop PnP must see live
+        # landmarks — see _refresh_rows_impl)
+        refresh_rows = self._refresh_rows_of(active_gids)
 
         for g0 in range(0, B_all, self.GROUP):
             gids_host = kf_gids[g0:g0 + self.GROUP]
@@ -516,33 +588,34 @@ class LoopClosing:
                 # (KITTI 02 ~ 4661 frames) never silently lose loop closing
                 self._grow(system)
             rows = list(range(self.n, self.n + nb))
-            rows_a = jnp.asarray(rows, jnp.int32)
-            gids_a = jnp.asarray(gids_host, jnp.int32)
-            imgs, xys, valids, slots, fgids = group_batch
+            descs, dvals, xys, valids, slots, fgids, gids_dev = group_batch
             self.db_gid[rows] = gids_host     # host mirror (gates, logs);
             # the device mirror is updated inside the ingest jit
             for i, g in enumerate(gids_host):
                 self.row_of_gid[g] = rows[i]
             self.n += nb
 
+            rr = (jnp.asarray(refresh_rows) if g0 == 0
+                  else jnp.full((refresh_rows.shape[0],), -1, jnp.int32))
             if self.vocab is None:
                 (self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
-                 self.lm_has, self.lm_gid_db, self.db_gid_dev) = \
-                    self._ingest_nv(
-                        self.desc_db, self.desc_valid, self.kp_xy,
-                        self.lm_pos, self.lm_has, self.lm_gid_db,
-                        self.db_gid_dev, rows_a, gids_a, imgs, xys, valids,
-                        slots, fgids, m.lm_pos, m.lm_gid, m.lm_valid)
+                 self.lm_has, self.lm_gid_db, self.db_gid_dev,
+                 self.n_dev) = self._ingest_nv(
+                    self.desc_db, self.desc_valid, self.kp_xy,
+                    self.lm_pos, self.lm_has, self.lm_gid_db,
+                    self.db_gid_dev, self.n_dev, gids_dev, descs, dvals,
+                    xys, valids, slots, fgids, m.lm_pos, m.lm_gid,
+                    m.lm_valid, rr)
                 pack = None
             else:
                 (self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
                  self.lm_has, self.lm_gid_db, self.bow_db, self.db_gid_dev,
-                 pack) = self._ingest_v(
+                 self.n_dev, pack) = self._ingest_v(
                     self.desc_db, self.desc_valid, self.kp_xy, self.lm_pos,
                     self.lm_has, self.lm_gid_db, self.bow_db,
-                    self.db_gid_dev, rows_a, imgs, xys, valids, slots,
-                    fgids, m.lm_pos, m.lm_gid, m.lm_valid, self.vocab,
-                    gids_a, jnp.int32(s.loop_min_age),
+                    self.db_gid_dev, self.n_dev, descs, dvals, xys, valids,
+                    slots, fgids, m.lm_pos, m.lm_gid, m.lm_valid,
+                    self.vocab, gids_dev, rr, min_age=int(s.loop_min_age),
                     levels=self._vocab_levels)
 
             # vocabulary self-training at warm-up (DB can't fire before
@@ -560,6 +633,18 @@ class LoopClosing:
                 self._train_vocab(s.vocab_deep_levels)
 
             if pack is None:
+                continue
+            if defer:
+                # one-chunk-deferred gating (chunked pipeline): syncing on
+                # the scores HERE would drain the in-flight next chunk
+                # (the ingest is queued behind it on the serial device
+                # stream) and forfeit the dispatch-ahead overlap; poll()
+                # resolves this at the next collect. The reference's loop
+                # thread is equally asynchronous (loopclosing.cpp:39-70).
+                pend = getattr(self, "_pending", [])
+                pend.append((pack, rows, gids_host,
+                             (xys, valids, slots, fgids)))
+                self._pending = pend
                 continue
             # gate pre-check WITHOUT the device sync: if no keyframe in
             # the group can pass the host-side gates, skip the fetch
@@ -643,7 +728,7 @@ class LoopClosing:
         self.loop_edges.append((loop_gid, kf_gid, Z_loop))
         self.last_closed_gid = kf_gid
 
-        if not (1.0 < err < 15.0):
+        if not (s.loop_correction_min < err < s.loop_correction_max):
             return self._log(kf_gid, loop_gid, best_score, n_matches,
                              n_inliers, err, False)
 

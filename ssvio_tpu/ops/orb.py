@@ -26,7 +26,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401
 
 from ssvio_tpu.ops import sampling
 
@@ -78,6 +78,83 @@ def ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+@functools.lru_cache()
+def _moment_kernel() -> np.ndarray:
+    """[2, 1, 31, 31] conv kernel computing (m10, m01) patch moments."""
+    r = PATCH_RADIUS
+    ys, xs = np.mgrid[-r:r + 1, -r:r + 1]
+    mask = (xs ** 2 + ys ** 2) <= r ** 2
+    # XLA's conv is cross-correlation (no kernel flip): moment(x) =
+    # sum_o img(x+o)*k(o) with k(o) = o
+    kx = np.where(mask, xs, 0).astype(np.float32)
+    ky = np.where(mask, ys, 0).astype(np.float32)
+    return np.stack([kx, ky])[:, None]
+
+
+def ic_angle_conv(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """ic_angle via two whole-image moment convolutions + ONE gather per
+    keypoint per moment — the TPU-native form: the per-tap gather version
+    issues ~709 random gathers per keypoint (gathers are the throughput
+    floor of the descriptor ladder, PERF.md r4); a 31x31 conv rides the
+    conv/matmul units instead. Numerically IDENTICAL to ic_angle for
+    keypoints whose full patch is in bounds (all integer taps:
+    round(xy)+o == round(xy+o)); border keypoints differ (zero-pad vs
+    clamp) but descriptor validity already excludes them (border 22 >
+    PATCH_RADIUS)."""
+    k = jnp.asarray(_moment_kernel())
+    m = jax.lax.conv_general_dilated(
+        img[None, None], k, window_strides=(1, 1), padding="SAME")
+    c = jnp.round(xy)
+    m10 = sampling.gather_nn(m[0, 0], c)
+    m01 = sampling.gather_nn(m[0, 1], c)
+    return jnp.arctan2(m01, m10)
+
+
+@functools.lru_cache()
+def _circle_rows() -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row (dy, halfwidth) of the radius-15 circular patch — the same
+    tap set as _ic_angle_offsets, expressed row-wise."""
+    r = PATCH_RADIUS
+    dys = np.arange(-r, r + 1, dtype=np.int32)
+    ws = np.floor(np.sqrt(float(r * r) - dys.astype(np.float64) ** 2) + 1e-9
+                  ).astype(np.int32)
+    return dys, ws
+
+
+def ic_angle_integral(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """ic_angle via row-wise integral images: 4 gathers per patch ROW
+    instead of one per TAP (124 vs ~709 gathers per keypoint — gathers are
+    the descriptor ladder's throughput floor on TPU, PERF.md r4).
+
+    Exactly the same tap set as ic_angle:
+      S(dy)  = sum_{|dx|<=w(dy)} img[cy+dy, cx+dx]   (prefix-sum diff)
+      Sx(dy) = sum (cx+dx)*img[...]                  (first-moment prefix)
+      m01 = sum dy*S(dy),  m10 = sum (Sx(dy) - cx*S(dy))
+    Identical for interior keypoints (integer taps); border keypoints
+    (clamped differently) are excluded by descriptor validity anyway."""
+    H, W = img.shape
+    z = jnp.zeros((H, 1), img.dtype)
+    II = jnp.concatenate([z, jnp.cumsum(img, axis=1)], axis=1)   # [H, W+1]
+    xs = jnp.arange(W, dtype=img.dtype)
+    Ix = jnp.concatenate([z, jnp.cumsum(img * xs[None, :], axis=1)], axis=1)
+    dys, ws = _circle_rows()
+    dys_d = jnp.asarray(dys)
+    ws_d = jnp.asarray(ws)
+    c = jnp.round(xy).astype(jnp.int32)
+    cy = jnp.clip(c[:, 1:2] + dys_d[None, :], 0, H - 1)          # [N, 31]
+    lo = jnp.clip(c[:, 0:1] - ws_d[None, :], 0, W)               # [N, 31]
+    hi = jnp.clip(c[:, 0:1] + ws_d[None, :] + 1, 0, W)
+    base = cy * (W + 1)
+    fII = II.reshape(-1)
+    fIx = Ix.reshape(-1)
+    S = fII[base + hi] - fII[base + lo]
+    Sx = fIx[base + hi] - fIx[base + lo]
+    f = img.dtype
+    m01 = jnp.sum(S * dys_d.astype(f)[None, :], axis=1)
+    m10 = jnp.sum(Sx - c[:, 0:1].astype(f) * S, axis=1)
+    return jnp.arctan2(m01, m10)
+
+
 def compute_descriptors(img_blurred: jnp.ndarray, xy: jnp.ndarray,
                         angle: jnp.ndarray, seed: int = 1234) -> jnp.ndarray:
     """Steered-BRIEF descriptors.
@@ -105,6 +182,60 @@ def compute_descriptors(img_blurred: jnp.ndarray, xy: jnp.ndarray,
     bits = bits.reshape(-1, DESC_WORDS, 32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)   # [N, 8]
+
+
+@functools.lru_cache()
+def brief_pool_pattern(seed: int = 4321) -> Tuple[np.ndarray, np.ndarray]:
+    """Pool-style BRIEF pattern: 256 sample POINTS + 256 index PAIRS.
+
+    The classic pattern samples 512 independent endpoints (2 gathers per
+    bit); drawing both endpoints of every pair from a shared 256-point
+    pool halves the image gathers — the bit comparisons become STATIC
+    shuffles of the pooled values. Point reuse does not hurt
+    distinctiveness (ORB's learned bit_pattern_31_ itself reuses
+    coordinates heavily); the pairing is seeded to avoid duplicate and
+    self pairs. Returns (points [256, 2] int8, pairs [256, 2] int32)."""
+    rng = np.random.default_rng(seed)
+    pts = np.clip(np.round(rng.normal(0.0, 6.2, size=(DESC_BITS, 2))),
+                  -13, 13).astype(np.int8)
+    pairs = np.zeros((DESC_BITS, 2), np.int32)
+    seen = set()
+    k = 0
+    while k < DESC_BITS:
+        a, b = rng.integers(0, DESC_BITS, 2)
+        if a == b or (pts[a] == pts[b]).all():
+            continue
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        pairs[k] = (a, b)
+        k += 1
+    return pts, pairs
+
+
+def compute_descriptors_pool(img_blurred: jnp.ndarray, xy: jnp.ndarray,
+                             angle: jnp.ndarray, seed: int = 4321
+                             ) -> jnp.ndarray:
+    """Steered BRIEF with the pooled pattern: ONE 256-tap gather per
+    keypoint (vs 512 for compute_descriptors); pair comparisons are
+    static-index shuffles. Same contract/packing as compute_descriptors
+    (descriptors are self-consistent within the engine either way — the
+    vocabulary is trained on whichever pattern produced them)."""
+    pts, pairs = brief_pool_pattern(seed)
+    pat = jnp.asarray(pts.astype(np.float32))                   # [256, 2]
+    ca = jnp.cos(angle)[:, None]
+    sa = jnp.sin(angle)[:, None]
+    px = pat[None, :, 0] * ca - pat[None, :, 1] * sa            # [N, 256]
+    py = pat[None, :, 0] * sa + pat[None, :, 1] * ca
+    p = jnp.stack([xy[:, None, 0] + px, xy[:, None, 1] + py], axis=-1)
+    v = sampling.gather_nn(img_blurred, p)                      # [N, 256]
+    ia = jnp.asarray(pairs[:, 0])
+    ib = jnp.asarray(pairs[:, 1])
+    bits = (v[:, ia] < v[:, ib]).astype(jnp.uint32)             # static take
+    bits = bits.reshape(-1, DESC_WORDS, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
 
 
 def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -64,15 +64,15 @@ class System:
             lambda prob: ba.local_ba(prob, self.frontend._fx, self.frontend._fy,
                                      self.frontend._cx, self.frontend._cy,
                                      self.frontend._baseline))
-        # gather + undistort the chunk's keyframe rows for loop closing in
-        # ONE dispatch (per-item slicing costs ~10-30 ms of host latency
-        # each over this machine's device tunnel)
+        # gather the chunk's keyframe rows (descriptors computed inside the
+        # chunk program + feature state) for loop closing in ONE dispatch
+        # (per-item slicing costs ~10-30 ms of host latency each over this
+        # machine's device tunnel)
         self._lc_prepare = jax.jit(
-            lambda imgs_l, feat, idx: (
-                jax.vmap(self.frontend._undistort_left)(
-                    imgs_l[idx].astype(jnp.float32)),
+            lambda desc, dval, feat, kf_gid, idx: (
+                desc[idx], dval[idx],
                 feat.xy[idx], feat.valid[idx],
-                feat.lm_slot[idx], feat.lm_gid[idx]))
+                feat.lm_slot[idx], feat.lm_gid[idx], kf_gid[idx]))
 
         # frontend state. `status` is host-visible; `_status_dev` mirrors it
         # as a device scalar so pipelined dispatch_chunk calls never wait on
@@ -307,7 +307,8 @@ class System:
             timestamps = [0.0] * K
         if self._engine is None:
             self._engine = eng.Engine(self.frontend, self.enable_backend,
-                                      mesh=self.mesh)
+                                      mesh=self.mesh,
+                                      loop_desc=self.loopclosing is not None)
         if isinstance(lefts, jax.Array):        # pre-uploaded via upload_chunk
             imgs_l, imgs_r = lefts, rights
         else:
@@ -405,11 +406,18 @@ class System:
         self._refresh_keyframe_records()
         self._kf_cache = None
 
-        # loop closing for keyframes created inside the chunk: ONE gather
-        # dispatch + ONE batched ingest dispatch for all of them
-        # (descriptors + store + BoW + DB scoring), one small fetch for
-        # the scores; host round trips beyond that only for actual
-        # candidates
+        # loop closing: first resolve any candidates whose scores were
+        # deferred at the previous collect (their ingest finished while
+        # this chunk computed — the fetch now costs pure link latency)
+        if self.loopclosing is not None:
+            for ev in self.loopclosing.poll(self):
+                if ev.corrected:
+                    self.stats["n_loops"] += 1
+                    self.stats["n_fused"] = (self.stats.get("n_fused", 0)
+                                             + ev.n_fused)
+        # then ingest this chunk's keyframes: ONE gather dispatch + ONE
+        # batched ingest dispatch (descriptors + store + BoW + DB
+        # scoring); the score gate resolves at the NEXT collect
         if self.loopclosing is not None and kf_flag.any():
             idxs, gids, T_list = [], [], []
             for i in np.nonzero(kf_flag)[0]:
@@ -424,19 +432,16 @@ class System:
                 gids.append(gid)
                 T_list.append(np.asarray(T_kf))
             if idxs:
-                batch = self._lc_prepare(imgs_l, outs.feat,
+                batch = self._lc_prepare(outs.desc, outs.dval, outs.feat,
+                                         outs.kf_gid,
                                          jnp.asarray(idxs, jnp.int32))
                 # window gids straight from the packed readback (no device
                 # fetch): the snapshot map's window
                 active = [int(g) for g, v in zip(tail_gids, tail_valid)
                           if v]
-                evs = self.loopclosing.process_keyframes_batch(
-                    self, gids, T_list, batch, m_snapshot, active)
-                for ev in evs:
-                    if ev.corrected:
-                        self.stats["n_loops"] += 1
-                        self.stats["n_fused"] = (self.stats.get("n_fused", 0)
-                                                 + ev.n_fused)
+                self.loopclosing.process_keyframes_batch(
+                    self, gids, T_list, batch, m_snapshot, active,
+                    defer=True)
 
         # LOST at the chunk boundary: attempt relocalization on the chunk's
         # last frame (the in-chunk scan dead-ends on LOST for determinism;

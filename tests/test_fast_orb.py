@@ -216,3 +216,54 @@ def test_multiscale_descriptor_zoom_matching(rng):
     assert right < 45, right
     assert right < mismatched - 20, (right, mismatched)
     assert shuffled > 90, shuffled
+
+
+def test_ic_angle_conv_matches_gather():
+    """Conv-moment orientation (TPU-native path used by the loop
+    descriptor ladder) is numerically identical to the per-tap gather
+    version for interior keypoints."""
+    import numpy as np
+
+    from ssvio_tpu.ops import orb
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(0, 255, (96, 160)).astype(np.float32))
+    xy = jnp.asarray(np.stack([rng.uniform(22, 137, 64),
+                               rng.uniform(22, 73, 64)], -1)
+                     .astype(np.float32))
+    a_ref = np.asarray(orb.ic_angle(img, xy))
+    a_conv = np.asarray(orb.ic_angle_conv(img, xy))
+    d = np.abs(np.angle(np.exp(1j * (a_ref - a_conv))))
+    assert d.max() < 1e-3, d.max()
+
+
+def test_pool_descriptor_rotation_invariance_and_distinctiveness(rng):
+    """The pooled BRIEF pattern (one 256-tap gather; loop-closing ladder
+    default since r4) keeps rotation-steered stability AND distinctiveness:
+    matched (rotated) pairs are far below the ~128-bit random distance,
+    different keypoints stay near it."""
+    img = textured(rng, 160, 160)
+    blurred = np.asarray(pyramid.blur(jnp.asarray(img), 2.0, 3))
+    center = np.array([[80.0, 80.0], [70.0, 95.0], [95.0, 60.0],
+                       [60.0, 75.0], [88.0, 92.0]], np.float32)
+    ang = orb.ic_angle(jnp.asarray(blurred), jnp.asarray(center))
+    d0 = orb.compute_descriptors_pool(jnp.asarray(blurred),
+                                      jnp.asarray(center), ang)
+
+    deg = 30.0
+    M = cv2.getRotationMatrix2D((80, 80), deg, 1.0)
+    rot = cv2.warpAffine(img, M, (160, 160))
+    rot_blur = np.asarray(pyramid.blur(jnp.asarray(rot), 2.0, 3))
+    pts_rot = (np.concatenate([center, np.ones((5, 1), np.float32)], 1)
+               @ M.T).astype(np.float32)
+    ang_r = orb.ic_angle(jnp.asarray(rot_blur), jnp.asarray(pts_rot))
+    d1 = orb.compute_descriptors_pool(jnp.asarray(rot_blur),
+                                      jnp.asarray(pts_rot), ang_r)
+
+    dist_same = np.asarray(orb.hamming_distance(d0, d1))
+    assert dist_same.mean() < 64, dist_same
+    # cross distances (different keypoints) stay high
+    cross = np.asarray(orb.hamming_distance(d0[:, None, :], d1[None, :, :]))
+    off_diag = cross[~np.eye(5, dtype=bool)]
+    assert off_diag.mean() > 80, off_diag.mean()
+    assert dist_same.mean() < 0.6 * off_diag.mean()
