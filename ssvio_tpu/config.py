@@ -220,6 +220,10 @@ class Settings:
         s.max_keyframes_db = int(g("TPU.Max.Keyframes.DB", s.max_keyframes_db))
         s.detect_octaves = int(g("TPU.Detect.Octaves", s.detect_octaves))
         s.vocab_retrain_at = int(g("TPU.Vocab.Retrain.At", s.vocab_retrain_at))
+        s.loop_correction_min = float(g("TPU.Loop.Correction.Min",
+                                        s.loop_correction_min))
+        s.loop_correction_max = float(g("TPU.Loop.Correction.Max",
+                                        s.loop_correction_max))
         return s
 
 
