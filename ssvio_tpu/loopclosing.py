@@ -160,6 +160,14 @@ class LoopClosing:
         self._match = jax.jit(self._match_impl)
         self._correct_active = jax.jit(self._correct_active_impl)
         self._fuse = jax.jit(self._fuse_impl)
+        # candidate verification (match + PnP + acceptance metric) as ONE
+        # dispatch + ONE small fetch: self-similar scenes fire candidates
+        # often, and the r4 multi-dispatch candidate path cost ~0.5 s of
+        # host RPC latency each on this machine's tunnel
+        self._verify = jax.jit(self._verify_impl)
+        self._move_rows = jax.jit(self._move_rows_impl, donate_argnums=(0,))
+        self._apply_row_deltas = jax.jit(self._apply_row_deltas_impl,
+                                         donate_argnums=(0,))
         # batched ingest: describe + snapshot + store (+ BoW transform +
         # whole-DB scoring) for a GROUP of keyframes in ONE dispatch — the
         # per-keyframe jit-call train was the r3 loop-on throughput hole
@@ -381,6 +389,57 @@ class LoopClosing:
         mutual = back[best_j] == jnp.arange(F, dtype=jnp.int32)
         ok = (best <= thresh) & (best < big) & mutual
         return best_j, best.astype(jnp.int32), ok
+
+    # ------------------------------------------------------------------
+    def _verify_impl(self, desc_db, desc_valid, db_lm_has, db_lm_pos,
+                     row, brow, feat_xy, key, T_cw):
+        """Match + PnP-RANSAC + correction-magnitude for one candidate in
+        one program. Returns (pack [16] f32, best_j [F] i32,
+        inlier [F] bool): pack = n_matches, pnp_ok, n_inliers, err,
+        T_corr (12 flat)."""
+        desc = jax.lax.dynamic_index_in_dim(desc_db, row, 0, keepdims=False)
+        dval = jax.lax.dynamic_index_in_dim(desc_valid, row, 0,
+                                            keepdims=False)
+        dloop = desc_db[brow]
+        dlval = desc_valid[brow]
+        best_j, dist, ok = self._match_impl(desc, dval, dloop, dlval)
+        # keep matches whose loop feature carries a landmark
+        # (ComputeCorrectPose :149-174)
+        ok = ok & db_lm_has[brow][best_j]
+        n_matches = jnp.sum(ok.astype(jnp.int32))
+        p_w = db_lm_pos[brow][best_j]
+        res = pnp.pnp_ransac(p_w, feat_xy, ok, self._fx, self._fy,
+                             self._cx, self._cy, key, n_hypotheses=128,
+                             reproj_threshold=5.991, min_inliers=10)
+        err = jnp.linalg.norm(se3.log(se3.compose(T_cw,
+                                                  se3.inverse(res.T_cw))))
+        f32 = jnp.float32
+        pack = jnp.concatenate([
+            jnp.stack([n_matches.astype(f32), res.ok.astype(f32),
+                       res.n_inliers.astype(f32), err.astype(f32)]),
+            res.T_cw.reshape(-1).astype(f32)])
+        return pack, best_j, ok & res.inlier
+
+    @staticmethod
+    def _move_rows_impl(db_pos, rows, Cinv):
+        """Rigidly move database landmark snapshots of `rows` (-1 lanes
+        dropped) — one dispatch for the whole active window instead of a
+        per-row scatter train."""
+        cap = db_pos.shape[0]
+        moved = jax.vmap(lambda r: se3.transform(
+            Cinv, db_pos[jnp.clip(r, 0, cap - 1)]))(rows)
+        r = jnp.where(rows >= 0, rows, cap)
+        return db_pos.at[r].set(moved, mode="drop")
+
+    @staticmethod
+    def _apply_row_deltas_impl(db_pos, rows, T_deltas):
+        """Per-row SE3 re-anchors (PGO writeback): p' = T_delta p for each
+        row's snapshot, one dispatch for all rows (-1 lanes dropped)."""
+        cap = db_pos.shape[0]
+        moved = jax.vmap(lambda r, T: se3.transform(
+            T, db_pos[jnp.clip(r, 0, cap - 1)]))(rows, T_deltas)
+        r = jnp.where(rows >= 0, rows, cap)
+        return db_pos.at[r].set(moved, mode="drop")
 
     # ------------------------------------------------------------------
     # active-map rigid correction (reference
@@ -690,44 +749,36 @@ class LoopClosing:
         here is fine, corrections are rare)."""
         s = self.s
         loop_gid = int(self.db_gid[best_row])
-        desc = self.desc_db[row]
-        dval = self.desc_valid[row]
 
-        # ---- match (MatchFeatures :105-145)
-        best_j, dist, ok = self._match(desc, dval,
-                                       self.desc_db[best_row],
-                                       self.desc_valid[best_row])
-        # keep matches whose loop feature carries a landmark
-        # (ComputeCorrectPose :149-174)
-        ok = np.asarray(ok) & np.asarray(self.lm_has[best_row])[np.asarray(best_j)]
-        n_matches = int(ok.sum())
-        if n_matches < 10:
-            return self._log(kf_gid, loop_gid, best_score, n_matches, 0, 0.0,
-                             False)
-
-        # ---- PnP-RANSAC + pose-only refine (:196-215, 245-351)
-        p_w = self.lm_pos[best_row][jnp.asarray(best_j)]
+        # ---- match + PnP + acceptance metric: ONE dispatch + ONE fetch
+        # (MatchFeatures :105-145, ComputeCorrectPose :147-243)
         self._rng_key, sub = jax.random.split(self._rng_key)
-        res = pnp.pnp_ransac(p_w, feat.xy, jnp.asarray(ok),
-                             self._fx, self._fy, self._cx, self._cy, sub,
-                             n_hypotheses=128, reproj_threshold=5.991,
-                             min_inliers=10)
-        n_inliers = int(res.n_inliers)
-        if not bool(res.ok):
+        pack_dev, best_j, pnp_inlier = self._verify(
+            self.desc_db, self.desc_valid, self.lm_has, self.lm_pos,
+            jnp.int32(row), jnp.int32(best_row), feat.xy, sub, T_cw)
+        pack = np.asarray(pack_dev)
+        n_matches = int(pack[0])
+        pnp_ok = pack[1] > 0.5
+        n_inliers = int(pack[2])
+        err = float(pack[3])
+        if n_matches < 10:
+            return self._log(kf_gid, loop_gid, best_score, n_matches, 0,
+                             0.0, False)
+        if not pnp_ok:
             return self._log(kf_gid, loop_gid, best_score, n_matches,
                              n_inliers, 0.0, False)
-        T_corr = res.T_cw
+        T_corr = jnp.asarray(pack[4:].reshape(3, 4))
 
-        # acceptance window (1, 15) on the correction magnitude (:224-234)
-        err = float(jnp.linalg.norm(se3.log(
-            se3.compose(T_cw, se3.inverse(T_corr)))))
         # loop edge is recorded regardless (reference sets
         # relative_pose_to_loop_KF_ unconditionally, :238-241)
-        T_loop = jnp.asarray(system.pose_of_gid(loop_gid))
-        Z_loop = np.asarray(se3.compose(T_corr, se3.inverse(T_loop)))
+        T_loop = system.pose_of_gid(loop_gid)
+        Z_loop = se3.compose_np(np.asarray(pack[4:].reshape(3, 4)),
+                                se3.inverse_np(np.asarray(T_loop)))
         self.loop_edges.append((loop_gid, kf_gid, Z_loop))
         self.last_closed_gid = kf_gid
 
+        # acceptance window on the correction magnitude (:224-234;
+        # Settings.loop_correction_min/max)
         if not (s.loop_correction_min < err < s.loop_correction_max):
             return self._log(kf_gid, loop_gid, best_score, n_matches,
                              n_inliers, err, False)
@@ -743,19 +794,22 @@ class LoopClosing:
         loop_lm_pos = self.lm_pos[best_row]
         loop_lm_gid = self.lm_gid_db[best_row]
         loop_lm_has = self.lm_has[best_row]
-        # database landmark snapshots of active KFs ride the same rigid move
-        Cinv = se3.inverse(C)
-        for g in system.active_gids():
-            r = self.row_of_gid.get(g)
-            if r is not None:
-                self.lm_pos = self.lm_pos.at[r].set(
-                    se3.transform(Cinv, self.lm_pos[r]))
+        # database landmark snapshots of active KFs ride the same rigid
+        # move — one batched dispatch
+        active_rows = [self.row_of_gid[g] for g in system.active_gids()
+                       if g in self.row_of_gid]
+        if active_rows:
+            R = self.s.max_window
+            self.lm_pos = self._move_rows(
+                self.lm_pos,
+                jnp.asarray((active_rows + [-1] * R)[:R], jnp.int32),
+                se3.inverse(C))
 
         # fuse matched current landmarks into the loop KF's (PnP inliers
         # only, like the reference's match_inliers set)
         m_f, remap, old_gid, n_merged, n_adopted = self._fuse(
             m._replace(kf_pose=kf_new, lm_pos=lm_new), feat,
-            jnp.asarray(best_j), jnp.asarray(ok) & res.inlier,
+            best_j, pnp_inlier,
             loop_lm_pos, loop_lm_gid, loop_lm_has, jnp.int32(loop_gid))
         n_fused = int(n_merged) + int(n_adopted)
         system.apply_loop_correction(self, m_f, T_corr,
@@ -909,15 +963,24 @@ class LoopClosing:
         opt = np.asarray(pgo.optimize(prob, iters=20))
 
         # write back + re-anchor each stored KF's landmark snapshots:
-        # p_cam = T_old_cw p is invariant -> p' = T_new_wc p_cam (:564-588)
+        # p_cam = T_old_cw p is invariant -> p' = T_new_wc p_cam (:564-588).
+        # All per-row re-anchors ride ONE batched dispatch (a per-row
+        # scatter train costs ~30 ms of host latency each on this machine)
+        rows_d, deltas = [], []
         for i, rec in enumerate(kfs):
             T_old = rec["T_cw"]
             T_new = opt[i]
             rec["T_cw"] = T_new
             row = self.row_of_gid.get(rec["gid"])
             if row is not None and not np.allclose(T_old, T_new, atol=1e-7):
-                T_delta = np.asarray(se3.compose(
-                    se3.inverse(jnp.asarray(T_new)), jnp.asarray(T_old)))
-                self.lm_pos = self.lm_pos.at[row].set(
-                    se3.transform(jnp.asarray(T_delta), self.lm_pos[row]))
+                deltas.append(se3.compose_np(se3.inverse_np(T_new), T_old))
+                rows_d.append(row)
+        if rows_d:
+            R = _round_pow2(len(rows_d), lo=16)
+            rows_a = np.full((R,), -1, np.int32)
+            rows_a[:len(rows_d)] = rows_d
+            T_a = np.tile(np.eye(3, 4, dtype=np.float32), (R, 1, 1))
+            T_a[:len(rows_d)] = np.stack(deltas)
+            self.lm_pos = self._apply_row_deltas(
+                self.lm_pos, jnp.asarray(rows_a), jnp.asarray(T_a))
         system.on_pose_graph_updated()
