@@ -81,9 +81,22 @@ def _linearize_edges(poses, prob: PGOProblem, free_mask):
     fixed vertices' Jacobian blocks zeroed."""
     P = poses.shape[0]
     r = _edge_residuals(poses, prob)
-    w = (prob.edge_valid
+    # non-finite residuals (e.g. a degenerate edge whose rotation lands on
+    # the log-map branch cut) must not poison the whole solve: one NaN in F
+    # makes every LM step rejected and PGO silently returns its input
+    r_ok = jnp.all(jnp.isfinite(r), axis=-1)
+    r = jnp.where(r_ok[:, None], r, 0.0)
+    w = (prob.edge_valid & r_ok
          & prob.pose_valid[prob.edge_i]
          & prob.pose_valid[prob.edge_j]).astype(poses.dtype) * prob.edge_weight
+    # Huber robust weight on the edge residual norm (delta = 1.0 in the
+    # normalized residual units): bounds a bad edge's pull on the graph
+    # like g2o's RobustKernelHuber would (the reference uses identity
+    # information with no kernel; one wild edge then dominates — the same
+    # class of failure the NaN guard above handles at infinity)
+    rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+    delta = 1.0
+    w = w * jnp.where(rn <= delta, 1.0, delta / rn)
     F = jnp.sum(w * jnp.sum(r * r, axis=-1))
     Jl_inv = _jl_inv(r)
     AdZinv = se3.adjoint(se3.inverse(prob.edge_Z))

@@ -521,7 +521,7 @@ class System:
         self.rel_motion = se3.identity()
         self.status = fe.TRACKING_GOOD
         self.stats["n_relocalizations"] = self.stats.get("n_relocalizations", 0) + 1
-        self._record_keyframe(int(kf_gid), timestamp)
+        self._record_keyframe(int(kf_gid), timestamp, odometry_edge=False)
         if self.enable_backend:
             prob = mapmod.ba_problem_from_map(self.map)
             res = self._local_ba(prob)
@@ -558,13 +558,18 @@ class System:
                                          + ev.n_fused)
 
     # ------------------------------------------------------------------
-    def _record_keyframe(self, kf_gid: int, timestamp: float):
+    def _record_keyframe(self, kf_gid: int, timestamp: float,
+                         odometry_edge: bool = True):
+        """odometry_edge=False for relocalized keyframes: the PnP-recovered
+        pose is a teleport relative to the previous (lost) keyframe, and
+        recording the jump as a measured relative motion would hand PGO a
+        maximally-violated odometry edge that deforms the graph."""
         T_cw_np = np.asarray(self.T_cw)
         rec = {"gid": kf_gid, "frame_id": self.frame_id,
                "timestamp": timestamp, "T_cw": T_cw_np}
         self.keyframes.append(rec)
         self._rec_by_gid[kf_gid] = rec
-        if len(self.keyframes) > 1:
+        if odometry_edge and len(self.keyframes) > 1:
             prev = self.keyframes[-2]
             Z = se3.compose_np(T_cw_np, se3.inverse_np(prev["T_cw"]))
             self.kf_rel_edges.append((prev["gid"], kf_gid, Z))
@@ -613,8 +618,8 @@ class System:
         kf_valid = np.asarray(self.map.kf_valid)
         return [int(g) for g, v in zip(kf_gid, kf_valid) if v]
 
-    def apply_loop_correction(self, loopclosing, corrected_map, T_corr,
-                              relink=None, T_ref=None):
+    def apply_loop_correction(self, loopclosing, corrected_map, C,
+                              relink=None):
         """Install the rigidly re-anchored active map + corrected current
         pose (reference CorrectActivateKeyframeAndMappoint writes the map
         under the map-update mutex, loopclosing.cpp:378-456; here it is a
@@ -625,22 +630,19 @@ class System:
         to their new slots/identities so future tracking and keyframes
         reuse the loop's landmarks (reference loopclosing.cpp:428-453).
 
-        `T_ref` is the corrected keyframe's PRE-correction pose; in
-        chunked/pipelined mode the current pose (and possibly a chunk in
-        flight) lies frames ahead of it, and rides the same rigid
-        right-multiplied correction C = T_ref^-1 T_corr the active window
-        got. When T_ref == current pose this reduces exactly to
-        T_cw = T_corr (the per-frame behavior). The C is also recorded in
-        _gauge_events so collect_chunk can re-gauge any chunk that was
-        already in flight."""
+        `C` is the rigid gauge correction ALREADY EXPRESSED IN THE LIVE
+        GAUGE (loopclosing._complete_loop discounts every gauge event the
+        verified keyframe pose predates): the current pose — and possibly
+        a chunk in flight — rides the same right-multiplied C the active
+        window got. In the synchronous per-frame path this reduces exactly
+        to T_cw = T_corr. C is also recorded in _gauge_events so
+        collect_chunk can re-gauge any chunk that was already in flight."""
         self.map = corrected_map
         if relink is not None:
             self.feat = loopclosing.remap_feat(self.feat, *relink)
-        if T_ref is None:
-            T_ref = self.T_cw
-        C = se3.compose(se3.inverse(jnp.asarray(T_ref)), jnp.asarray(T_corr))
-        self.T_cw = se3.compose(jnp.asarray(self.T_cw), C)
-        self._gauge_events.append(np.asarray(C))
+        C = np.asarray(C)
+        self.T_cw = se3.compose(jnp.asarray(self.T_cw), jnp.asarray(C))
+        self._gauge_events.append(C)
         self._refresh_keyframe_records()
 
     def on_pose_graph_updated(self):
