@@ -260,16 +260,13 @@ def _loop_accuracy_bench(s, chunk):
     FX, FY, CX, CY = (s.cam_left.fx, s.cam_left.fy, s.cam_left.cx,
                       s.cam_left.cy)
     # 5 laps + a quarter-lap revisit at KITTI resolution with sensor
-    # noise. The detector's best match is the MOST RECENT revisit (highest
-    # BoW similarity), whose relative drift is one lap's worth (~0.2 m) —
-    # far below the reference's KITTI-scale minimum correction magnitude
-    # of 1.0 (loopclosing.cpp:224-234). This 10 m-radius scene is ~30x
-    # smaller than KITTI 00, so the acceptance window's lower bound is
-    # scaled accordingly (Settings.loop_correction_min). Copy: the
-    # headline system shares the Settings object and must keep defaults.
+    # noise. No per-scene gating overrides: the acceptance window is
+    # scene-scaled by default (Settings.loop_correction_autoscale — the
+    # detector's best match is the most recent revisit, whose one-lap
+    # relative drift sits far below the reference's KITTI-absolute minimum
+    # of 1.0, loopclosing.cpp:224-234).
     import dataclasses
     s = dataclasses.replace(s)
-    s.loop_correction_min = 0.1
     n = 288
     circ = synthetic.loop_trajectory(n, radius=10.0)
     poses = np.concatenate([circ] * 5 + [circ[:n // 4]], axis=0)

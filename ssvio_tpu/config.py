@@ -95,6 +95,11 @@ class Settings:
     # octaves, loopclosing.cpp:605-619 — that YAML key loads into this
     # field)
     loop_desc_scales: int = 8
+    # per-octave FAST re-screen of replicated loop keypoints before
+    # describing (reference ScreenAndComputeKPsParams,
+    # orbextractor.cpp:844-894, at minThFAST): descriptor rows whose
+    # octave image has no corner at the keypoint are invalidated
+    loop_screen_fast: bool = True
     vocab_k: int = 10                   # vocabulary branching factor
     vocab_levels: int = 3               # warm-up vocabulary depth (k^L words)
     # the warm-up tree (trained on ~50 KFs) saturates on long sequences;

@@ -182,9 +182,11 @@ class Engine:
             accept = jnp.where(is_init, init_ok, True)
             if self.loop_desc:
                 from ssvio_tpu.loopclosing import loop_describe
-                desc, dval = loop_describe(img_l, feat2.xy, feat2.valid,
-                                           s.loop_desc_scales,
-                                           s.scale_factor)
+                desc, dval = loop_describe(
+                    img_l, feat2.xy, feat2.valid, s.loop_desc_scales,
+                    s.scale_factor,
+                    screen_threshold=(s.min_th_fast if s.loop_screen_fast
+                                      else 0.0))
             else:
                 desc = jnp.zeros((0, 8), jnp.uint32)
                 dval = jnp.zeros((0,), bool)

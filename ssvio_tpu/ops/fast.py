@@ -99,6 +99,39 @@ def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     return fast_score_maps(img, [threshold])[0]
 
 
+def fast_check_sparse(img: jnp.ndarray, xy: jnp.ndarray,
+                      threshold: float) -> jnp.ndarray:
+    """Per-keypoint FAST-9 ring test at given (sub)pixel positions.
+
+    The sparse analog of the reference's `isFastCorner` re-screen
+    (reference src/ssvio/orbextractor.cpp:194-268, applied per octave to
+    replicated loop keypoints in ScreenAndComputeKPsParams :844-894):
+    rounds xy [N, 2] to pixels, gathers the 16-point Bresenham ring + the
+    center (17 gathers per keypoint — cheap next to the 256-tap BRIEF that
+    follows), and runs the same bitmask contiguous-arc test the dense
+    detector uses. Out-of-border points fail. Returns [N] bool."""
+    h, w = img.shape
+    ix = jnp.round(xy[..., 0]).astype(jnp.int32)
+    iy = jnp.round(xy[..., 1]).astype(jnp.int32)
+    inb = (ix >= 3) & (ix < w - 3) & (iy >= 3) & (iy < h - 3)
+    ixc = jnp.clip(ix, 3, w - 4)
+    iyc = jnp.clip(iy, 3, h - 4)
+    center = img[iyc, ixc]                                   # [N]
+    ring = jnp.stack([img[iyc + int(dy), ixc + int(dx)]
+                      for dy, dx in RING_OFFSETS])           # [16, N]
+    t = jnp.float32(threshold)
+    brighter = ring > (center + t)[None]
+    darker = ring < (center - t)[None]
+
+    def arc(cmp):
+        bits = jnp.zeros(center.shape, jnp.uint32)
+        for i in range(16):
+            bits = bits | (cmp[i].astype(jnp.uint32) << i)
+        return _has_contiguous_run(bits, ARC_LEN)
+
+    return inb & (arc(brighter) | arc(darker))
+
+
 def nms3x3(score: jnp.ndarray) -> jnp.ndarray:
     """Keep scores that are the strict max of their 3x3 neighborhood."""
     neigh = jnp.stack([_shift2d(score, dy, dx)

@@ -285,6 +285,74 @@ def test_loop_correction_through_chunked_path():
     assert err_end < max(2.5, 0.5 * peak), (err_end, peak)
 
 
+@pytest.mark.slow
+def test_multi_closure_pipelined_five_laps():
+    """Loop closing at CLOSURE DENSITY under dispatch-ahead: 5 laps of a
+    circular course, ~20+ verified candidates, repeated correction + fusion
+    + PGO. Regression test for the r4 accuracy collapse (BENCH_r04
+    loop_bench: loop_on ATE 86.57 m vs loop_off 0.33 m): the single-closure
+    tests above green-lit a system whose deferred corrections re-applied
+    already-corrected drift and whose pose graph was poisoned by
+    rejected-verification edges. This is the exact failure regime:
+    multi-closure, pipelined, fusion + PGO live.
+
+    Gates (measured margins on the fixed seeds: r4-HEAD gave ATE 16-28 m
+    with 285 m excursions; fixed code gives ATE ~2.4 m, end drift ~0.7 m
+    vs ~3.3 m loop-off):
+      * >= 5 corrections accepted through the pipelined path
+      * loop_on keyframe-record ATE stays near the loop_off floor
+        (anchor-limited at this 320x128 resolution), nowhere near the
+        r4 collapse
+      * loop closing removes most of the accumulated end drift
+    """
+    from ssvio_tpu.eval import ate
+    from ssvio_tpu.system import System
+
+    def drive(loop_on):
+        s = _small_settings()
+        n = 120
+        world = synthetic.SyntheticWorld(seed=11, wall_x=16.0,
+                                         ceiling_y=-5.0)
+        circ = synthetic.loop_trajectory(n, radius=6.0)
+        poses = np.concatenate([circ] * 5 + [circ[:n // 4]], axis=0)
+        CH = 10
+        n_frames = (len(poses) // CH) * CH
+        poses = poses[:n_frames]
+        L, R = synthetic.render_stereo_sequence(
+            world, poses, s.cam_left.fx, s.cam_left.fy, s.cam_left.cx,
+            s.cam_left.cy, s.baseline, s.image_width, s.image_height)
+        sys_ = System(s, enable_backend=True, enable_loop_closing=loop_on)
+        pending = None
+        for c in range(0, n_frames, CH):
+            h = sys_.dispatch_chunk(L[c:c + CH], R[c:c + CH],
+                                    [0.1 * (c + j) for j in range(CH)])
+            if pending is not None:
+                sys_.collect_chunk(pending)
+            pending = h
+        sys_.collect_chunk(pending)
+        ts, est = sys_.keyframe_trajectory()
+        gids = [k["frame_id"] for k in sys_.keyframes]
+        gt = poses[gids]
+        rmse = ate.ape_translation(est[:, :, 3], gt[:, :, 3])["rmse"]
+        q = max(4, len(gids) // 4)
+        _, Rm, t = ate.umeyama_alignment(est[:q, :, 3], gt[:q, :, 3])
+        est_al = est[:, :, 3] @ Rm.T + t
+        end_drift = float(np.linalg.norm(est_al[-1] - gt[-1][:, 3]))
+        return sys_, rmse, end_drift
+
+    sys_on, rmse_on, drift_on = drive(True)
+    accepted = [e for e in sys_on.loopclosing.events if e.corrected]
+    assert len(accepted) >= 5, (len(accepted),
+                                sys_on.loopclosing.events[-8:])
+    # the r4 failure mode was 16-86 m here; anchor-limited healthy runs
+    # measure ~2.4 m on these seeds
+    assert rmse_on < 4.0, rmse_on
+
+    _, rmse_off, drift_off = drive(False)
+    assert drift_on < 0.7 * drift_off, (drift_on, drift_off)
+    assert rmse_on < 4.0 * rmse_off, (rmse_on, rmse_off)
+
+
 def test_pose_graph_optimize_edge_convention():
     """_pose_graph_optimize must hand pgo.optimize edges in its (i=cur,
     j=prev, Z = T_cur T_prev^-1) convention. Regression: the host records
