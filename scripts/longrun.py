@@ -110,7 +110,6 @@ Loop.Closing.Open: 1
 TPU.Max.Features: 512
 TPU.Max.Landmarks: 8192
 TPU.Max.Keyframes.DB: 256
-TPU.Loop.Correction.Min: 0.25
 """)
     return cfg
 

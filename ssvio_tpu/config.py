@@ -85,7 +85,18 @@ class Settings:
     # DBOW2.VOC.Path: optional pretrained vocabulary in the ORB-SLAM text
     # format (reference loads it at startup, loopclosing.cpp:32-34). When
     # unset the engine self-trains from warm-up keyframes (ops/bow.py).
+    # NOTE: a pretrained ORBvoc is only semantically meaningful when the
+    # engine also describes with ORB-SLAM's learned sampling pattern —
+    # point brief_pattern_path at a dump of `bit_pattern_31_` (we do not
+    # ship it); with the default procedural pattern, self-training is the
+    # right mode and the loader is format parity only.
     vocab_path: Optional[str] = None
+    # TPU.BRIEF.Pattern.Path: optional external 256-pair BRIEF sampling
+    # pattern (ops/orb.py::load_pattern_file). Swaps the procedural pooled
+    # pattern for the classic 512-endpoint steered BRIEF with the given
+    # pairs, making descriptors compatible with ORB-SLAM's (and a loaded
+    # ORBvoc meaningful).
+    brief_pattern_path: Optional[str] = None
     # TPU-native loop-closing capacity/vocabulary knobs (the reference uses
     # a pre-trained ORBvoc.txt + unbounded containers; we self-train and
     # pre-allocate — see ssvio_tpu/loopclosing.py)
@@ -231,6 +242,7 @@ class Settings:
         s.loop_db_min_size = int(g("Loop.Closig.Keyframe.Database.Min.Size", s.loop_db_min_size))
         s.loop_desc_scales = int(g("Pyramid.Level", s.loop_desc_scales))
         s.vocab_path = g("DBOW2.VOC.Path", None)
+        s.brief_pattern_path = g("TPU.BRIEF.Pattern.Path", None)
         s.trajectory_save_path = g("Trajectory.Save.Path", None)
         # --- TPU-native extension keys (no reference analog: fixed-shape
         # capacity planning + kernel knobs; absent keys keep defaults) ---

@@ -181,12 +181,14 @@ class Engine:
                        & (n_stereo >= s.init_good))
             accept = jnp.where(is_init, init_ok, True)
             if self.loop_desc:
-                from ssvio_tpu.loopclosing import loop_describe
+                from ssvio_tpu.loopclosing import (loop_describe,
+                                                   pattern_from_settings)
                 desc, dval = loop_describe(
                     img_l, feat2.xy, feat2.valid, s.loop_desc_scales,
                     s.scale_factor,
                     screen_threshold=(s.min_th_fast if s.loop_screen_fast
-                                      else 0.0))
+                                      else 0.0),
+                    pattern=pattern_from_settings(s))
             else:
                 desc = jnp.zeros((0, 8), jnp.uint32)
                 dval = jnp.zeros((0,), bool)

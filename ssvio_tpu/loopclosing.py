@@ -70,8 +70,19 @@ def fe_feat_view(xy, valid, lm_slot, lm_gid):
                         octave=jnp.zeros(xy.shape[0], jnp.int32))
 
 
+@functools.lru_cache()
+def _pattern_from_path(path: Optional[str]):
+    return None if not path else orb.load_pattern_file(path)
+
+
+def pattern_from_settings(s: Settings):
+    """External BRIEF pattern (Settings.brief_pattern_path) or None."""
+    return _pattern_from_path(getattr(s, "brief_pattern_path", None))
+
+
 def loop_describe(img0: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
-                  S: int, sf: float, screen_threshold: float = 0.0):
+                  S: int, sf: float, screen_threshold: float = 0.0,
+                  pattern=None):
     """Multi-octave loop descriptors for one keyframe.
 
     Geometric sf^l ladder (the reference replicates every keypoint across
@@ -106,7 +117,12 @@ def loop_describe(img0: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
             inb = inb & fast.fast_check_sparse(ladder[l], xy_l,
                                                screen_threshold)
         ang = orb.ic_angle_integral(img, xy_l)
-        d = orb.compute_descriptors_pool(img, xy_l, ang)
+        if pattern is not None:
+            # external (e.g. bit_pattern_31_) pattern: ORB-SLAM-compatible
+            # descriptors, classic 512-endpoint steered BRIEF
+            d = orb.compute_descriptors(img, xy_l, ang, pattern=pattern)
+        else:
+            d = orb.compute_descriptors_pool(img, xy_l, ang)
         descs.append(d)
         vals.append(valid & inb)
     return jnp.concatenate(descs, 0), jnp.concatenate(vals, 0)
@@ -237,7 +253,8 @@ class LoopClosing:
         return loop_describe(
             img0, xy, valid, self.S, self.s.scale_factor,
             screen_threshold=(self.s.min_th_fast if self.s.loop_screen_fast
-                              else 0.0))
+                              else 0.0),
+            pattern=pattern_from_settings(self.s))
 
     # ------------------------------------------------------------------
     # batched ingest (the whole per-keyframe device pipeline in ONE jit)

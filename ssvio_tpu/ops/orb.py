@@ -155,18 +155,51 @@ def ic_angle_integral(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return jnp.arctan2(m01, m10)
 
 
+def load_pattern_file(path: str) -> np.ndarray:
+    """Load an external 256-pair BRIEF sampling pattern.
+
+    Format: 1024 whitespace-separated integers (x1 y1 x2 y2 per pair, any
+    line structure; '#'/'//' comments and separators like ',' tolerated) —
+    exactly how ORB-SLAM's learned `bit_pattern_31_` initializer prints
+    (reference src/ssvio/orbpattern.cpp:9; also OpenCV's
+    modules/features2d/src/orb.cpp). We deliberately do not ship that
+    table; pointing Settings.brief_pattern_path at a dump of it makes the
+    engine's descriptors (and therefore a loaded ORBvoc tree,
+    Settings.vocab_path) semantically compatible with ORB-SLAM/reference
+    descriptors. Returns [256, 4] int8.
+    """
+    nums = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].split("//")[0]
+            for tok in line.replace(",", " ").replace(";", " ").split():
+                nums.append(int(tok))
+    arr = np.asarray(nums, np.int32)
+    if arr.size != DESC_BITS * 4:
+        raise ValueError(
+            f"BRIEF pattern file {path!r} holds {arr.size} ints; need "
+            f"{DESC_BITS * 4} (256 pairs x 4 coords)")
+    if np.abs(arr).max() > 31:
+        raise ValueError("pattern coordinates must fit a 31x31 patch")
+    return arr.reshape(DESC_BITS, 4).astype(np.int8)
+
+
 def compute_descriptors(img_blurred: jnp.ndarray, xy: jnp.ndarray,
-                        angle: jnp.ndarray, seed: int = 1234) -> jnp.ndarray:
+                        angle: jnp.ndarray, seed: int = 1234,
+                        pattern: np.ndarray | None = None) -> jnp.ndarray:
     """Steered-BRIEF descriptors.
 
     img_blurred: [H, W] float32, pre-blurred (reference applies GaussianBlur
       7x7 sigma=2 before descriptors, orbextractor.cpp:962).
     xy: [N, 2] keypoint positions (in this image's scale).
     angle: [N] orientation radians.
+    pattern: optional [256, 4] explicit sampling pairs (load_pattern_file);
+      defaults to the procedural seeded pattern.
 
     Returns [N, 8] uint32 (256 bits packed little-endian within words).
     """
-    pat = jnp.asarray(brief_pattern(seed).astype(np.float32))  # [256, 4]
+    pat_np = brief_pattern(seed) if pattern is None else np.asarray(pattern)
+    pat = jnp.asarray(pat_np.astype(np.float32))               # [256, 4]
     ca = jnp.cos(angle)[:, None]                                # [N, 1]
     sa = jnp.sin(angle)[:, None]
     # rotate both endpoints of each pair by the keypoint angle
