@@ -96,6 +96,7 @@ def _run_pass(sys_, dev_L, dev_R, n_frames, t0_frame=0.0, pipelined=True):
     if pending is not None:
         t0 = time.time()
         est.append(sys_.collect_chunk(pending))
+        sys_.finish()          # resolve loop candidates from the last chunks
         times[-1] += time.time() - t0
     return np.concatenate(est, axis=0), times
 
@@ -223,6 +224,25 @@ def main():
             extra["loop_bench"] = _loop_accuracy_bench(s, CHUNK)
         except Exception as e:
             extra["loop_bench"] = f"error: {e}"
+
+        # ---- KITTI-scale long-run artifact: produced offline by
+        # scripts/longrun.py (4600 frames, KITTI-00 intrinsics/resolution,
+        # several revisit laps, loop_on vs loop_off ATE — the stand-in for
+        # the reference's result/loop_kitti_02.png until real KITTI data is
+        # reachable); folded into extras when present so each BENCH_r*
+        # records it
+        try:
+            lr_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "LONGRUN.json")
+            if os.path.exists(lr_path):
+                with open(lr_path) as f:
+                    lr = json.load(f)
+                extra["longrun"] = {
+                    k: lr[k] for k in ("frames", "laps", "dataset",
+                                       "loop_on", "loop_off")
+                    if k in lr}
+        except Exception as e:
+            extra["longrun"] = f"error: {e}"
 
         # ---- per-round scaling-efficiency artifact (virtual 8-device CPU
         # mesh; subprocess so the TPU-backed bench process stays clean)

@@ -78,6 +78,7 @@ def run(sys_, L, R, CH, pipelined=True):
         pending = h
     if pending is not None:
         sys_.collect_chunk(pending)
+    sys_.finish()
 
 
 def evaluate(sys_, poses):

@@ -119,6 +119,7 @@ def _run_chunked(system, loader, ts, n, chunk, viewer, gt, t0):
     for i in range(n_chunks * chunk, n):
         img_l, img_r = next(it)
         system.run_step(img_l, img_r, float(ts[i]))
+    system.finish()    # resolve loop candidates deferred in the last chunks
 
 
 def main(argv=None) -> int:

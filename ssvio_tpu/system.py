@@ -409,12 +409,7 @@ class System:
         # loop closing: first resolve any candidates whose scores were
         # deferred at the previous collect (their ingest finished while
         # this chunk computed — the fetch now costs pure link latency)
-        if self.loopclosing is not None:
-            for ev in self.loopclosing.poll(self):
-                if ev.corrected:
-                    self.stats["n_loops"] += 1
-                    self.stats["n_fused"] = (self.stats.get("n_fused", 0)
-                                             + ev.n_fused)
+        self._poll_loopclosing()
         # then ingest this chunk's keyframes: ONE gather dispatch + ONE
         # batched ingest dispatch (descriptors + store + BoW + DB
         # scoring); the score gate resolves at the NEXT collect
@@ -459,6 +454,25 @@ class System:
         # viewer stereo pane: the chunk's last pair
         self.last_stereo = (imgs_l[K - 1], imgs_r[K - 1])
         return T_wc_k
+
+    def _poll_loopclosing(self):
+        if self.loopclosing is not None:
+            for ev in self.loopclosing.poll(self):
+                if ev.corrected:
+                    self.stats["n_loops"] += 1
+                    self.stats["n_fused"] = (self.stats.get("n_fused", 0)
+                                             + ev.n_fused)
+
+    def finish(self):
+        """Flush deferred loop-closing work at sequence end.
+
+        The chunked pipeline defers candidate gating by one collect (see
+        loopclosing.poll); without this, closures detected in the final
+        chunk are silently dropped when the driver stops calling
+        collect_chunk — on the 5-lap bench that is exactly the revisit
+        pass whose correction the end-drift metric measures. Call after
+        the last collect_chunk (run_kitti, bench, and longrun do)."""
+        self._poll_loopclosing()
 
     def _record_keyframe_at(self, kf_gid: int, timestamp: float,
                             T_cw: np.ndarray, frame_id: int):

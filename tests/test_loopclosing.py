@@ -330,6 +330,7 @@ def test_multi_closure_pipelined_five_laps():
                 sys_.collect_chunk(pending)
             pending = h
         sys_.collect_chunk(pending)
+        sys_.finish()
         ts, est = sys_.keyframe_trajectory()
         gids = [k["frame_id"] for k in sys_.keyframes]
         gt = poses[gids]
