@@ -646,7 +646,9 @@ class LoopClosing:
 
     def process_keyframes_batch(self, system, kf_gids, T_list, batch,
                                 m: mapmod.MapState, active_gids,
-                                defer: bool = False) -> List[LoopEvent]:
+                                defer: bool = False,
+                                gauge_idx: Optional[int] = None
+                                ) -> List[LoopEvent]:
         """Ingest keyframes and run loop detection/correction.
 
         kf_gids/T_list: host lists (gid, pre-correction T_cw [3,4] np) per
@@ -667,6 +669,13 @@ class LoopClosing:
         B_all = len(kf_gids)
         if not B_all:
             return events
+        # the gauge index T_list's poses were captured at (see
+        # _complete_loop): callers that captured earlier pass it in;
+        # otherwise the poses are current as of THIS call. Captured ONCE
+        # for the whole batch — corrections fired by earlier groups/items
+        # of this very call are then discounted for later ones.
+        if gauge_idx is None:
+            gauge_idx = len(getattr(system, "_gauge_events", []))
         # BA-refined positions are pulled into still-active rows' snapshots
         # INSIDE the ingest dispatch (refresh_rows; loop PnP must see live
         # landmarks — see _refresh_rows_impl)
@@ -744,7 +753,7 @@ class LoopClosing:
                 pend.append((pack, rows, gids_host,
                              (xys, valids, slots, fgids),
                              [np.asarray(T) for T in T_list[g0:g0 + nb]],
-                             len(getattr(system, "_gauge_events", []))))
+                             gauge_idx))
                 self._pending = pend
                 continue
             # gate pre-check WITHOUT the device sync: if no keyframe in
@@ -758,10 +767,6 @@ class LoopClosing:
             pack = np.asarray(pack)                 # ONE sync per group
             best_rows = pack[0].astype(np.int64)
             best_scores = pack[1]
-            # T_list was captured in the CURRENT gauge; an accepted event
-            # earlier in this batch appends a gauge event, which
-            # _complete_loop then discounts for the later items
-            gauge_idx0 = len(getattr(system, "_gauge_events", []))
             for i in range(nb):
                 # ---- gates (DetectLoop :72-103 + InsertNewKeyFrame
                 # :657-669); row+1 = DB size as of this keyframe's ingest
@@ -776,7 +781,7 @@ class LoopClosing:
                 ev = self._complete_loop(system, gids_host[i], rows[i],
                                          feat_i, jnp.asarray(T_list[g0 + i]),
                                          int(best_rows[i]), best_score,
-                                         gauge_idx0)
+                                         gauge_idx)
                 if ev is not None:
                     events.append(ev)
         return events

@@ -406,15 +406,17 @@ class System:
         self._refresh_keyframe_records()
         self._kf_cache = None
 
-        # loop closing: first resolve any candidates whose scores were
-        # deferred at the previous collect (their ingest finished while
-        # this chunk computed — the fetch now costs pure link latency)
-        self._poll_loopclosing()
-        # then ingest this chunk's keyframes: ONE gather dispatch + ONE
-        # batched ingest dispatch (descriptors + store + BoW + DB
-        # scoring); the score gate resolves at the NEXT collect
+        # capture this chunk's keyframe poses + the CURRENT gauge index
+        # BEFORE polling deferred candidates: poll may apply corrections
+        # (appending gauge events), and a keyframe already evicted from
+        # the live window would keep its pre-correction record pose while
+        # a post-poll gauge stamp claimed otherwise — the pose/gauge pair
+        # pended for verification must be captured atomically or the
+        # correction math re-applies already-applied gauge events (the r4
+        # regression's mechanism, through a narrower window)
+        gauge_idx_now = len(self._gauge_events)
+        idxs, gids, T_list = [], [], []
         if self.loopclosing is not None and kf_flag.any():
-            idxs, gids, T_list = [], [], []
             for i in np.nonzero(kf_flag)[0]:
                 gid = int(kf_gid_k[i])
                 try:
@@ -426,6 +428,15 @@ class System:
                 idxs.append(int(i))
                 gids.append(gid)
                 T_list.append(np.asarray(T_kf))
+
+        # loop closing: first resolve any candidates whose scores were
+        # deferred at the previous collect (their ingest finished while
+        # this chunk computed — the fetch now costs pure link latency)
+        self._poll_loopclosing()
+        # then ingest this chunk's keyframes: ONE gather dispatch + ONE
+        # batched ingest dispatch (descriptors + store + BoW + DB
+        # scoring); the score gate resolves at the NEXT collect
+        if self.loopclosing is not None and kf_flag.any():
             if idxs:
                 batch = self._lc_prepare(outs.desc, outs.dval, outs.feat,
                                          outs.kf_gid,
@@ -436,7 +447,7 @@ class System:
                           if v]
                 self.loopclosing.process_keyframes_batch(
                     self, gids, T_list, batch, m_snapshot, active,
-                    defer=True)
+                    defer=True, gauge_idx=gauge_idx_now)
 
         # LOST at the chunk boundary: attempt relocalization on the chunk's
         # last frame (the in-chunk scan dead-ends on LOST for determinism;
