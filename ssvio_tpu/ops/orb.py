@@ -179,8 +179,9 @@ def load_pattern_file(path: str) -> np.ndarray:
         raise ValueError(
             f"BRIEF pattern file {path!r} holds {arr.size} ints; need "
             f"{DESC_BITS * 4} (256 pairs x 4 coords)")
-    if np.abs(arr).max() > 31:
-        raise ValueError("pattern coordinates must fit a 31x31 patch")
+    if np.abs(arr).max() > 15:
+        raise ValueError(
+            "pattern coordinates must lie in [-15, 15] (a 31x31 patch)")
     return arr.reshape(DESC_BITS, 4).astype(np.int8)
 
 
