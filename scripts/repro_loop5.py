@@ -64,21 +64,29 @@ def small_settings():
     return s
 
 
-def run(sys_, L, R, CH, pipelined=True):
+def run(sys_, L, R, CH, pipelined=True, timeline=False):
     n = len(L)
     pending = None
+    tl = []
     for c in range(0, n, CH):
         h = sys_.dispatch_chunk(L[c:c + CH], R[c:c + CH],
                                 [0.1 * (c + j) for j in range(CH)])
         if not pipelined:
             sys_.collect_chunk(h)
-            continue
-        if pending is not None:
-            sys_.collect_chunk(pending)
-        pending = h
+        else:
+            if pending is not None:
+                sys_.collect_chunk(pending)
+            pending = h
+        if timeline:
+            tl.append((c, sys_.track_health, sys_._status,
+                       sys_.stats["n_loops"]))
     if pending is not None:
         sys_.collect_chunk(pending)
     sys_.finish()
+    if timeline:
+        print("timeline (frame, health, status, n_loops):")
+        print("  " + " ".join(f"{c}:{h if h is None else int(h)}/{st}/{nl}"
+                              for c, h, st, nl in tl))
 
 
 def evaluate(sys_, poses):
@@ -142,6 +150,7 @@ def main():
 
     sys_ = System(s, enable_backend=True,
                   enable_loop_closing=not args.loop_off)
+    args.timeline = True
     if args.no_anchor_seed and sys_.loopclosing is not None:
         sys_.loopclosing._residual_anchor = None
     if args.probe and sys_.loopclosing is not None:
@@ -172,11 +181,18 @@ def main():
 
         lc._complete_loop = probed
     t0 = time.time()
-    run(sys_, L, R, args.chunk, pipelined=not args.per_frame)
+    run(sys_, L, R, args.chunk, pipelined=not args.per_frame,
+        timeline=args.timeline)
     wall = time.time() - t0
     rmse, end_drift, nkf = evaluate(sys_, poses)
     print(f"ate_rmse={rmse:.3f} m  end_drift={end_drift:.3f} m  "
           f"n_kf={nkf}  wall={wall:.1f}s  fps={n_frames / wall:.1f}")
+    import collections
+    wc = collections.Counter(w.split(" at ")[0].split(" gid")[0]
+                             for w in sys_.stats.get("warnings", []))
+    if wc:
+        print("warnings:", dict(wc))
+    print(f"relocalizations={sys_.stats.get('n_relocalizations', 0)}")
     # per-frame live-estimate error profile (the trajectory list holds the
     # re-gauged readback pose of every frame): where does the estimate jump?
     fts, fposes = sys_.frame_trajectory()

@@ -144,6 +144,18 @@ class Settings:
     # that large is re-accepted once three consecutive verifications agree
     # on the same correction (see LoopClosing._complete_loop). 0 disables.
     loop_drift_per_kf: float = 0.05
+    # tracking-health gate on correction acceptance: a rigid re-anchor is
+    # only safe when the front end is stable — applying one while tracking
+    # is degraded (falling inlier counts on a hard arc) turns a transient
+    # few-metre wobble into a LOST excursion (measured on the 5-lap repro:
+    # corrections accepted during the per-lap inlier dip tipped tracking
+    # into a perpetual LOST thrash; loop-off rides the same dip out every
+    # lap).
+    # Acceptance requires the latest chunk's median tracked-inlier count
+    # to be at least this fraction of the RUN'S OWN typical health (the
+    # running median of chunk medians) — self-calibrating, so it needs no
+    # per-scene tuning. 0 disables.
+    loop_health_min_frac: float = 0.6
     # LOST-state relocalization against the keyframe database — a capability
     # EXTENSION: the reference detects LOST but recovery is an empty TODO
     # (reference frontend.cpp:62-66); set False for dead-end parity
@@ -260,6 +272,8 @@ class Settings:
                                              s.loop_correction_autoscale))
         s.loop_drift_per_kf = float(g("TPU.Loop.Drift.Per.KF",
                                       s.loop_drift_per_kf))
+        s.loop_health_min_frac = float(g("TPU.Loop.Health.Min.Frac",
+                                         s.loop_health_min_frac))
         s.loop_screen_fast = bool(g("TPU.Loop.Screen.FAST",
                                     s.loop_screen_fast))
         return s

@@ -516,11 +516,20 @@ class LoopClosing:
         * MERGE: the loop landmark is still resident in the active map
           (gid found in m.lm_gid) -> move the current duplicate's
           observation rows onto the resident slot, retire the duplicate.
-        * ADOPT: the loop landmark left the active window -> overwrite the
-          current slot in place with the loop landmark's position and
-          identity, and stamp lm_first_kf = loop KF so local BA holds it
-          FIXED like any landmark first observed outside the window
-          (reference backend.cpp:118-126).
+        * ADOPT: the loop landmark left the active window -> the current
+          slot takes over the loop landmark's IDENTITY (gid, and
+          lm_first_kf = loop KF so local BA holds it fixed like any
+          landmark first observed outside the window, reference
+          backend.cpp:118-126) while KEEPING its current position. The
+          reference installs the old mappoint's position too
+          (loopclosing.cpp:428-453); after a correct rigid correction the
+          two coincide, but when the correction carries consensus-gauge
+          error the old positions disagree with live tracking by that
+          error, and BA-fixing hundreds of them poisons the active map —
+          measured on the 5-lap repro as lap-over-lap inlier decay ending
+          in LOST. Identity adoption preserves the dedup and
+          loop-edge/database value; position authority stays with the
+          live, tracking-consistent estimate.
 
         Returns (map', slot_remap [M] int32, pre-fusion lm_gid [M],
         n_merged, n_adopted). Features are re-linked separately via
@@ -557,9 +566,9 @@ class LoopClosing:
         obs_valid = obs_valid.at[a_cur].set(False, mode="drop")
         lm_valid = m.lm_valid.at[a_cur].set(False, mode="drop")
 
-        # ADOPT
+        # ADOPT (identity only — see docstring; position stays live)
         b_cur = jnp.where(case_b, cur_c, M)
-        lm_pos = m.lm_pos.at[b_cur].set(p_loop, mode="drop")
+        lm_pos = m.lm_pos
         lm_gid = m.lm_gid.at[b_cur].set(g_loop, mode="drop")
         lm_first = m.lm_first_kf.at[b_cur].set(loop_kf_gid, mode="drop")
 
@@ -890,6 +899,20 @@ class LoopClosing:
             C_live = se3.compose_np(se3.inverse_np(Cp), C_live)
         xi = np.asarray(se3.log(jnp.asarray(C_live)))
         err = float(np.linalg.norm(xi))
+
+        # tracking-health gate: never re-anchor a front end that is
+        # degraded relative to ITS OWN typical health — applying a rigid
+        # correction during an inlier dip tips the dip into a LOST
+        # excursion (Settings.loop_health_min_frac; measured on the 5-lap
+        # repro: loop-off rides the same per-lap dip out every time, while
+        # corrections accepted mid-dip ended in a perpetual LOST thrash)
+        health = getattr(system, "track_health", None)
+        typical = getattr(system, "track_health_typical", None)
+        if (s.loop_health_min_frac > 0 and health is not None
+                and typical is not None
+                and health < s.loop_health_min_frac * typical):
+            return self._log(kf_gid, loop_gid, best_score, n_matches,
+                             n_inliers, err, False)
 
         T_loop = system.pose_of_gid(loop_gid)
         Z_loop = se3.compose_np(T_corr, se3.inverse_np(np.asarray(T_loop)))

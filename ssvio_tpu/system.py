@@ -95,6 +95,15 @@ class System:
         self.stats = {"n_keyframes": 0, "n_loops": 0, "track_ms": [],
                       "warnings": []}
         self._kf_cache = None       # packed window records (chunk readback)
+        # rolling tracking-health metric (median tracked inlier count of
+        # the latest chunk / recent frames) + the run's typical health
+        # (median of chunk medians): gates loop-correction acceptance
+        # (Settings.loop_health_min_frac)
+        self.track_health = None
+        self.track_health_typical = None
+        self._health_window = []
+        self._health_history = []
+        self._lost_since_kf = False        # LOST gap since last keyframe
         # rigid gauge corrections applied while a chunk was in flight
         # (dispatch-ahead loop closing): a chunk dispatched BEFORE a
         # correction computed its outputs in the uncorrected gauge, so
@@ -132,6 +141,11 @@ class System:
         self.last_stereo = None
         self.frame_id = -1
         self._kf_cache = None
+        self.track_health = None
+        self.track_health_typical = None
+        self._health_window = []
+        self._health_history = []
+        self._lost_since_kf = False
         self.trajectory = []
         self.keyframes = []
         self._rec_by_gid = {}
@@ -216,6 +230,13 @@ class System:
                 self.last_pyr, pyr_l, self.feat, self.T_cw, self.rel_motion,
                 self.map.lm_pos, self.map.lm_valid, self.map.lm_gid)
             n_inl = int(out.n_inliers)
+            self._health_window = (self._health_window + [n_inl])[-30:]
+            self.track_health = float(np.median(self._health_window))
+            self._health_history.append(float(n_inl))
+            if len(self._health_history) > 512:
+                del self._health_history[:256]
+            self.track_health_typical = float(
+                np.median(self._health_history))
             self.feat = out.feat
             self.T_cw = out.T_cw
             self.rel_motion = out.rel_motion
@@ -391,7 +412,20 @@ class System:
         tail_valid = tail[1 + W:1 + 2 * W] > 0.5
         self._kf_cache = (tail_gids, tail_valid, kf_pose_tail)
 
+        # tracking-health metric from this chunk's readback (tracked
+        # frames only — INITING/LOST report no inliers)
+        tracked = np.isin(statuses, (fe.TRACKING_GOOD, fe.TRACKING_BAD))
+        if tracked.any():
+            self.track_health = float(np.median(
+                per[:, 13][tracked].astype(np.float32)))
+            self._health_history.append(self.track_health)
+            if len(self._health_history) > 512:
+                del self._health_history[:256]
+            self.track_health_typical = float(
+                np.median(self._health_history))
+
         T_wc_k = np.empty_like(T_cw_k)
+        lost_since_kf = bool(getattr(self, "_lost_since_kf", False))
         for i in range(K):
             self.frame_id += 1
             R = T_cw_k[i, :, :3]
@@ -400,9 +434,18 @@ class System:
             # INITING retries report identity; keep parity with run_step,
             # which also records identity while uninitialized
             self.trajectory.append((timestamps[i], self.frame_id, T_wc_k[i]))
+            if statuses[i] == fe.LOST:
+                lost_since_kf = True
             if kf_flag[i] and statuses[i] != fe.LOST:
+                # a keyframe following a LOST gap (the engine's in-chunk
+                # re-init) has no measured motion to its predecessor —
+                # recording the apparent jump as an odometry edge would
+                # hand PGO a fabricated constraint
                 self._record_keyframe_at(int(kf_gid_k[i]), timestamps[i],
-                                         T_cw_k[i], self.frame_id)
+                                         T_cw_k[i], self.frame_id,
+                                         odometry_edge=not lost_since_kf)
+                lost_since_kf = False
+        self._lost_since_kf = lost_since_kf
         self._refresh_keyframe_records()
         self._kf_cache = None
 
@@ -451,7 +494,15 @@ class System:
 
         # LOST at the chunk boundary: attempt relocalization on the chunk's
         # last frame (the in-chunk scan dead-ends on LOST for determinism;
-        # recovery is a between-chunk host decision, like loop correction)
+        # recovery is a between-chunk host decision, like loop correction).
+        # KNOWN LIMITATION under dispatch-ahead: the next chunk is already
+        # in flight with the pre-reloc LOST carry, so one chunk is wasted
+        # per recovery and a reseed can go stale if tracking dies again
+        # immediately; an in-chunk re-init was prototyped in r5 and
+        # REJECTED — on untrackable stretches it re-anchors every few
+        # frames and ratchets the pose unboundedly, while the freeze-and-
+        # reseed semantics keep the error bounded (probe record in
+        # PERF.md r5 notes).
         if (self._status == fe.LOST and self.loopclosing is not None
                 and self.s.relocalization_open):
             pyr_last = self.frontend.build_pyramid(
@@ -486,14 +537,15 @@ class System:
         self._poll_loopclosing()
 
     def _record_keyframe_at(self, kf_gid: int, timestamp: float,
-                            T_cw: np.ndarray, frame_id: int):
+                            T_cw: np.ndarray, frame_id: int,
+                            odometry_edge: bool = True):
         """run_chunk variant of _record_keyframe (pose comes from the scan
         outputs rather than self.T_cw)."""
         rec = {"gid": kf_gid, "frame_id": frame_id, "timestamp": timestamp,
                "T_cw": np.asarray(T_cw)}
         self.keyframes.append(rec)
         self._rec_by_gid[kf_gid] = rec
-        if len(self.keyframes) > 1:
+        if odometry_edge and len(self.keyframes) > 1:
             prev = self.keyframes[-2]
             Z = se3.compose_np(T_cw, se3.inverse_np(prev["T_cw"]))
             self.kf_rel_edges.append((prev["gid"], kf_gid, Z))
@@ -522,6 +574,7 @@ class System:
         # else: stay INITING and retry next frame (map object unchanged —
         # keyframe_step returned a new value we simply drop)
 
+    # ------------------------------------------------------------------
     # ------------------------------------------------------------------
     def _try_relocalize(self, pyr_l, right, timestamp) -> bool:
         """Relocalize a LOST frame: PnP fix against the keyframe database,
