@@ -407,19 +407,15 @@ class System:
                 for C in Cs:
                     T = se3.compose_np(T, C)
                 kf_pose_tail[w] = T
-            # the handle's map snapshot predates those corrections too:
-            # bring its landmark positions into the corrected gauge, or
-            # the ingest-time database refresh would write PRE-correction
-            # positions into active rows for one chunk (silently undoing
-            # the _move_rows the correction applied)
-            C_all = Cs[0]
-            for C in Cs[1:]:
-                C_all = se3.compose_np(C_all, C)
-            Ainv = jnp.asarray(se3.inverse_np(C_all))
-            m_snapshot = m_snapshot._replace(
-                lm_pos=jnp.where(m_snapshot.lm_valid[:, None],
-                                 se3.transform(Ainv, m_snapshot.lm_pos),
-                                 m_snapshot.lm_pos))
+            # NOTE on the handle's map snapshot: it predates those
+            # corrections, so the ingest-time database refresh briefly
+            # writes pre-correction positions into still-active rows —
+            # self-healing one chunk later when a post-correction snapshot
+            # refreshes them. Re-gauging the snapshot here instead was
+            # tried and REVERTED: it permanently mis-gauges rows of
+            # keyframes evicted BEFORE the correction (their snapshots
+            # must stay in the old-map gauge), which measured 8x worse on
+            # the KITTI-scale longrun than the transient it removed.
 
         tail_gids = tail[1:1 + W].astype(np.int32)
         tail_valid = tail[1 + W:1 + 2 * W] > 0.5
